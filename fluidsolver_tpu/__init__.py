@@ -1,0 +1,38 @@
+"""fluidsolver_tpu — a TPU-native incompressible two-phase Navier-Stokes framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference C++
+solver (gidonbauer/FluidSolver): staggered MAC-grid finite differences, VOF/PLIC
+interface capture with ELVIRA reconstruction, curvature-based surface tension,
+immersed boundaries, and a pressure-Poisson projection — all as pure, jittable
+array programs that XLA can fuse and shard over TPU meshes.
+
+Key deviations from the reference (deliberate, TPU-first):
+  * no IRL: PLIC geometry is 2D-native vectorized polygon clipping
+  * no HYPRE: the pressure Poisson solve is an on-device PCG with a
+    geometric-multigrid preconditioner
+  * no OpenMP execution layer: parallelism comes from XLA vectorization on a
+    single chip and jax.sharding over a device mesh across chips
+"""
+
+from fluidsolver_tpu.version import __version__
+
+__all__ = ["__version__", "enable_x64", "default_dtype"]
+
+
+def enable_x64() -> None:
+    """Enable float64 globally. Required for the 1e-12-tolerance VOF
+    conservation invariants (reference: test/ConstantVelocityVOF.cpp:40-64).
+
+    On TPU, f64 is software emulated; production runs use f32/bf16 instead.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype():
+    """The default floating dtype: f64 when x64 is enabled, else f32."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -1,0 +1,176 @@
+"""Velocity and scalar boundary conditions on the ghost ring.
+
+Pure-functional re-design of the reference's BC layer
+(reference: src/BoundaryConditions.hpp:14-280). Each BC variant fills ghost
+and/or boundary-face values; the four sides are applied in the order
+left, right, bottom, top, exactly as ``apply_velocity_bconds``
+(src/BoundaryConditions.hpp:215-224).
+
+BC values may be Python floats or callables ``f(coord, t) -> value``; callables
+are traced once under ``jit`` (the time-dependent Dirichlet inflow of
+examples/IncompSolver.cpp:46-60 works by passing ``t`` as a traced scalar).
+
+Index mapping (see core/grid.py): logical index r -> array index r+1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Union
+
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core.grid import Grid
+
+BCValue = Union[float, Callable]
+
+
+def _eval(value: BCValue, coords: jnp.ndarray, t) -> jnp.ndarray:
+    """Evaluate a constant or function-valued BC at coordinates ``coords``."""
+    if callable(value):
+        return value(coords, t)
+    return jnp.full_like(coords, value)
+
+
+@dataclasses.dataclass(frozen=True)
+class Dirichlet:
+    """Fixed velocity on a wall; value or function of (tangential coord, t)."""
+
+    u: BCValue = 0.0
+    v: BCValue = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Neumann:
+    """Zero-gradient; ``clipped`` prevents inflow at an outlet
+    (reference: src/BoundaryConditions.hpp:88-134)."""
+
+    clipped: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Periodic:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Symmetry:
+    pass
+
+
+BCType = Union[Dirichlet, Neumann, Periodic, Symmetry]
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowBCs:
+    left: BCType
+    right: BCType
+    bottom: BCType
+    top: BCType
+
+
+def apply_velocity_bcs(U: jnp.ndarray, V: jnp.ndarray, grid: Grid, bcs: FlowBCs, t=-1.0):
+    """Fill ghost/boundary-face values of the staggered velocity.
+
+    Returns updated (U, V). Mirrors src/BoundaryConditions.hpp:215-224.
+    """
+    nx = grid.nx
+    ny = grid.ny
+    dtype = U.dtype
+    ym = jnp.asarray(grid.ym, dtype)  # length ny+2, for U rows
+    yf = jnp.asarray(grid.y, dtype)   # length ny+3, for V rows
+    xm = jnp.asarray(grid.xm, dtype)  # length nx+2, for V cols
+    xf = jnp.asarray(grid.x, dtype)   # length nx+3, for U cols
+
+    # ---- LEFT (x = x_min) -------------------------------------------------
+    b = bcs.left
+    if isinstance(b, Dirichlet):
+        ubc = _eval(b.u, ym, t)
+        vbc = _eval(b.v, yf, t)
+        U = U.at[0, :].set(ubc).at[1, :].set(ubc)
+        V = V.at[0, :].set(2.0 * vbc - V[1, :])
+    elif isinstance(b, Neumann):
+        g = jnp.minimum(U[1, :], 0.0) if b.clipped else U[1, :]
+        U = U.at[0, :].set(g)
+        V = V.at[0, :].set(V[1, :])
+    elif isinstance(b, Periodic):
+        U = U.at[0, :].set(U[nx, :])
+        V = V.at[0, :].set(V[nx, :])
+    elif isinstance(b, Symmetry):
+        U = U.at[0, :].set(-U[2, :]).at[1, :].set(0.0)
+        V = V.at[0, :].set(V[1, :])
+
+    # ---- RIGHT (x = x_max) ------------------------------------------------
+    b = bcs.right
+    if isinstance(b, Dirichlet):
+        ubc = _eval(b.u, ym, t)
+        vbc = _eval(b.v, yf, t)
+        U = U.at[nx + 1, :].set(ubc).at[nx + 2, :].set(ubc)
+        V = V.at[nx + 1, :].set(2.0 * vbc - V[nx, :])
+    elif isinstance(b, Neumann):
+        g = jnp.maximum(U[nx + 1, :], 0.0) if b.clipped else U[nx + 1, :]
+        U = U.at[nx + 2, :].set(g)
+        V = V.at[nx + 1, :].set(V[nx, :])
+    elif isinstance(b, Periodic):
+        U = U.at[nx + 2, :].set(U[2, :])
+        V = V.at[nx + 1, :].set(V[1, :])
+    elif isinstance(b, Symmetry):
+        U = U.at[nx + 2, :].set(-U[nx, :]).at[nx + 1, :].set(0.0)
+        V = V.at[nx + 1, :].set(V[nx, :])
+
+    # ---- BOTTOM (y = y_min) -----------------------------------------------
+    b = bcs.bottom
+    if isinstance(b, Dirichlet):
+        ubc = _eval(b.u, xf, t)
+        vbc = _eval(b.v, xm, t)
+        U = U.at[:, 0].set(2.0 * ubc - U[:, 1])
+        V = V.at[:, 0].set(vbc).at[:, 1].set(vbc)
+    elif isinstance(b, Neumann):
+        U = U.at[:, 0].set(U[:, 1])
+        g = jnp.minimum(V[:, 1], 0.0) if b.clipped else V[:, 1]
+        V = V.at[:, 0].set(g)
+    elif isinstance(b, Periodic):
+        U = U.at[:, 0].set(U[:, ny])
+        V = V.at[:, 0].set(V[:, ny])
+    elif isinstance(b, Symmetry):
+        U = U.at[:, 0].set(U[:, 1])
+        V = V.at[:, 0].set(-V[:, 2]).at[:, 1].set(0.0)
+
+    # ---- TOP (y = y_max) ----------------------------------------------------
+    b = bcs.top
+    if isinstance(b, Dirichlet):
+        ubc = _eval(b.u, xf, t)
+        vbc = _eval(b.v, xm, t)
+        U = U.at[:, ny + 1].set(2.0 * ubc - U[:, ny])
+        V = V.at[:, ny + 1].set(vbc).at[:, ny + 2].set(vbc)
+    elif isinstance(b, Neumann):
+        U = U.at[:, ny + 1].set(U[:, ny])
+        g = jnp.maximum(V[:, ny + 1], 0.0) if b.clipped else V[:, ny + 1]
+        V = V.at[:, ny + 2].set(g)
+    elif isinstance(b, Periodic):
+        U = U.at[:, ny + 1].set(U[:, 1])
+        V = V.at[:, ny + 2].set(V[:, 2])
+    elif isinstance(b, Symmetry):
+        U = U.at[:, ny + 1].set(U[:, ny])
+        V = V.at[:, ny + 2].set(-V[:, ny]).at[:, ny + 1].set(0.0)
+
+    return U, V
+
+
+def apply_neumann_scalar(f: jnp.ndarray) -> jnp.ndarray:
+    """Ghost ring := nearest interior value, x-direction first then y
+    (corner semantics match src/BoundaryConditions.hpp:227-252)."""
+    f = f.at[0, :].set(f[1, :])
+    f = f.at[-1, :].set(f[-2, :])
+    f = f.at[:, 0].set(f[:, 1])
+    f = f.at[:, -1].set(f[:, -2])
+    return f
+
+
+def apply_dirichlet_scalar(f: jnp.ndarray, value) -> jnp.ndarray:
+    """Ghost ring := constant value (src/BoundaryConditions.hpp:255-280)."""
+    f = f.at[0, :].set(value)
+    f = f.at[-1, :].set(value)
+    f = f.at[:, 0].set(value)
+    f = f.at[:, -1].set(value)
+    return f

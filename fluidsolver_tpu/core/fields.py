@@ -1,0 +1,87 @@
+"""Field constructors and ghost-ring helpers.
+
+Replaces the reference's ``Field2D`` container layer (src/Container.hpp:96-204)
+with plain jnp arrays; the ``fill``/``copy``/``has_nan_or_inf`` free functions
+become trivial jnp expressions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core.grid import Grid
+
+
+def register_pytree_dataclass(cls):
+    """Register a plain dataclass as a JAX pytree (all fields are leaves)."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+# ---- constructors ---------------------------------------------------------
+def zeros_center(grid: Grid, dtype=None) -> jnp.ndarray:
+    return jnp.zeros(grid.shape_center, dtype=dtype)
+
+
+def zeros_u(grid: Grid, dtype=None) -> jnp.ndarray:
+    return jnp.zeros(grid.shape_u, dtype=dtype)
+
+
+def zeros_v(grid: Grid, dtype=None) -> jnp.ndarray:
+    return jnp.zeros(grid.shape_v, dtype=dtype)
+
+
+def full_center(grid: Grid, value, dtype=None) -> jnp.ndarray:
+    return jnp.full(grid.shape_center, value, dtype=dtype)
+
+
+def full_u(grid: Grid, value, dtype=None) -> jnp.ndarray:
+    return jnp.full(grid.shape_u, value, dtype=dtype)
+
+
+def full_v(grid: Grid, value, dtype=None) -> jnp.ndarray:
+    return jnp.full(grid.shape_v, value, dtype=dtype)
+
+
+# ---- ghost-ring access ----------------------------------------------------
+def interior(f: jnp.ndarray) -> jnp.ndarray:
+    """View of the interior (ghost ring stripped)."""
+    return f[1:-1, 1:-1]
+
+
+def set_interior(f: jnp.ndarray, values) -> jnp.ndarray:
+    """Functional update of the interior; ghost ring untouched."""
+    return f.at[1:-1, 1:-1].set(values)
+
+
+def has_nan_or_inf(f: jnp.ndarray) -> jnp.ndarray:
+    """Traced boolean scalar. Reference: src/Container.hpp:186-204."""
+    return ~jnp.all(jnp.isfinite(f))
+
+
+def abs_max(f: jnp.ndarray) -> jnp.ndarray:
+    """max |f| over the whole array incl. ghosts (ref: src/Utility.hpp abs_max)."""
+    return jnp.max(jnp.abs(f))
+
+
+def fmax(f: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(f)
+
+
+def fmin(f: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(f)
+
+
+def tree_astype(tree: Any, dtype) -> Any:
+    """Cast every floating leaf of a pytree to ``dtype``."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)

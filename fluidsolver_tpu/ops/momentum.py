@@ -1,0 +1,287 @@
+"""Momentum and density transport on the staggered grid.
+
+Branchless vectorized re-design of the reference's conservative flux-form
+RHS with hybrid central/upwind interpolation at density jumps
+(reference: src/FS.hpp:131-436). The formulation follows the fused flux
+variant (`FS_FUSE_MOM_ALL`, src/FS.hpp:279-293), which is the natural shape
+for XLA: each flux is one shifted-slice expression and the compiler fuses the
+whole RHS into a couple of passes.
+
+Index mapping (core/grid.py): logical r -> array r+1; corner-mesh arrays have
+no ghosts and carry logical (i, j) in [0, nx+1) x [0, ny+1) directly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
+
+
+def calc_rho_eps(rho_gas: float, rho_liquid: float) -> float:
+    """Density-jump threshold for upwinding (src/FS.hpp:152-155)."""
+    return 1e-3 * min(rho_gas, rho_liquid)
+
+
+def hybrid_interp(rho_eps, rho_m, rho_p, velo_m, velo_p, transp_m, transp_p):
+    """Central average, switching to upwind (by transport velocity sign) when
+    the density jump exceeds ``rho_eps`` (src/FS.hpp:131-150)."""
+    upwind_minus = transp_p + transp_m >= 0.0
+    rho_up = jnp.where(upwind_minus, rho_m, rho_p)
+    velo_up = jnp.where(upwind_minus, velo_m, velo_p)
+    use_up = jnp.abs(rho_p - rho_m) > rho_eps
+    rho = jnp.where(use_up, rho_up, 0.5 * (rho_p + rho_m))
+    velo = jnp.where(use_up, velo_up, 0.5 * (velo_p + velo_m))
+    return rho, velo
+
+
+def _visc_corner(visc: jnp.ndarray) -> jnp.ndarray:
+    """Viscosity averaged to cell corners; corner (i,j) in [0,nx+1)x[0,ny+1)."""
+    return 0.25 * (visc[1:, 1:] + visc[:-1, 1:] + visc[1:, :-1] + visc[:-1, :-1])
+
+
+def calc_dmomdt(
+    U: jnp.ndarray,
+    V: jnp.ndarray,
+    rho_u_old: jnp.ndarray,
+    rho_v_old: jnp.ndarray,
+    visc: jnp.ndarray,
+    p: jnp.ndarray,
+    p_jump_u: jnp.ndarray,
+    p_jump_v: jnp.ndarray,
+    dx: float,
+    dy: float,
+    rho_eps: float,
+):
+    """d(rho u)/dt = -div(rho u u) + div(mu grad u) - grad p + p_jump.
+
+    Returns (dmomUdt, dmomVdt) with zero ghost rings (src/FS.hpp:158-315).
+    """
+    # ---- FXU on the center mesh (src/FS.hpp:180-195) ----------------------
+    # FXU = -rho*U^2 + 2*mu*dUdx - p     at every cell of the ghost box
+    rho_h, u_h = hybrid_interp(
+        rho_eps, rho_u_old[:-1, :], rho_u_old[1:, :], U[:-1, :], U[1:, :], U[:-1, :], U[1:, :]
+    )
+    u_c = 0.5 * (U[1:, :] + U[:-1, :])
+    dudx = (U[1:, :] - U[:-1, :]) / dx
+    FXU = -rho_h * u_h * u_c + 2.0 * visc * dudx - p
+
+    # ---- FYU on the corner mesh (src/FS.hpp:198-215) ----------------------
+    # FYU = -rho*U*V + mu*(dUdy + dVdx)  at corners (i,j) in [0,nx+1)x[0,ny+1)
+    u_lo = U[1:-1, :-1]   # U(i, j-1)
+    u_hi = U[1:-1, 1:]    # U(i, j)
+    v_lo = V[:-1, 1:-1]   # V(i-1, j)
+    v_hi = V[1:, 1:-1]    # V(i, j)
+    mu_c = _visc_corner(visc)
+    dudy = (u_hi - u_lo) / dy
+    dvdx = (v_hi - v_lo) / dx
+    rho_h, u_h = hybrid_interp(
+        rho_eps, rho_u_old[1:-1, :-1], rho_u_old[1:-1, 1:], u_lo, u_hi, v_lo, v_hi
+    )
+    FYU = -rho_h * u_h * 0.5 * (v_lo + v_hi) + mu_c * (dudy + dvdx)
+
+    # ---- FXV on the corner mesh (src/FS.hpp:218-235) ----------------------
+    rho_h, v_h = hybrid_interp(
+        rho_eps, rho_v_old[:-1, 1:-1], rho_v_old[1:, 1:-1], v_lo, v_hi, u_lo, u_hi
+    )
+    FXV = -rho_h * v_h * 0.5 * (u_lo + u_hi) + mu_c * (dudy + dvdx)
+
+    # ---- FYV on the center mesh (src/FS.hpp:238-254) ----------------------
+    rho_h, v_h = hybrid_interp(
+        rho_eps, rho_v_old[:, :-1], rho_v_old[:, 1:], V[:, :-1], V[:, 1:], V[:, :-1], V[:, 1:]
+    )
+    v_c = 0.5 * (V[:, 1:] + V[:, :-1])
+    dvdy = (V[:, 1:] - V[:, :-1]) / dy
+    FYV = -rho_h * v_h * v_c + 2.0 * visc * dvdy - p
+
+    # ---- flux differences (src/FS.hpp:281-292) ----------------------------
+    dmomU = jnp.zeros_like(U)
+    dmomU = dmomU.at[1:-1, 1:-1].set(
+        (FXU[1:, 1:-1] - FXU[:-1, 1:-1]) / dx
+        + (FYU[:, 1:] - FYU[:, :-1]) / dy
+        + p_jump_u[1:-1, 1:-1]
+    )
+
+    dmomV = jnp.zeros_like(V)
+    dmomV = dmomV.at[1:-1, 1:-1].set(
+        (FXV[1:, :] - FXV[:-1, :]) / dx
+        + (FYV[1:-1, 1:] - FYV[1:-1, :-1]) / dy
+        + p_jump_v[1:-1, 1:-1]
+    )
+    return dmomU, dmomV
+
+
+def calc_drhodt(
+    U: jnp.ndarray,
+    V: jnp.ndarray,
+    rho_u_old: jnp.ndarray,
+    rho_v_old: jnp.ndarray,
+    dx: float,
+    dy: float,
+    rho_eps: float,
+):
+    """Consistent mass/density transport with the same hybrid fluxes
+    (src/FS.hpp:318-406). Returns (drho_u_dt, drho_v_dt), zero ghosts."""
+    zero = jnp.zeros(())
+
+    # FXU = -rho*U on the center mesh
+    rho_h, _ = hybrid_interp(
+        rho_eps, rho_u_old[:-1, :], rho_u_old[1:, :], zero, zero, U[:-1, :], U[1:, :]
+    )
+    FXU = -rho_h * 0.5 * (U[:-1, :] + U[1:, :])
+
+    # FYU = -rho*V on the corner mesh
+    u_lo, u_hi = U[1:-1, :-1], U[1:-1, 1:]
+    v_lo, v_hi = V[:-1, 1:-1], V[1:, 1:-1]
+    rho_h, _ = hybrid_interp(rho_eps, rho_u_old[1:-1, :-1], rho_u_old[1:-1, 1:], zero, zero, v_lo, v_hi)
+    FYU = -rho_h * 0.5 * (v_lo + v_hi)
+
+    drho_u = jnp.zeros_like(rho_u_old)
+    drho_u = drho_u.at[1:-1, 1:-1].set(
+        (FXU[1:, 1:-1] - FXU[:-1, 1:-1]) / dx + (FYU[:, 1:] - FYU[:, :-1]) / dy
+    )
+
+    # FXV = -rho*U on the corner mesh
+    rho_h, _ = hybrid_interp(rho_eps, rho_v_old[:-1, 1:-1], rho_v_old[1:, 1:-1], zero, zero, u_lo, u_hi)
+    FXV = -rho_h * 0.5 * (u_lo + u_hi)
+
+    # FYV = -rho*V on the center mesh
+    rho_h, _ = hybrid_interp(
+        rho_eps, rho_v_old[:, :-1], rho_v_old[:, 1:], zero, zero, V[:, :-1], V[:, 1:]
+    )
+    FYV = -rho_h * 0.5 * (V[:, :-1] + V[:, 1:])
+
+    drho_v = jnp.zeros_like(rho_v_old)
+    drho_v = drho_v.at[1:-1, 1:-1].set(
+        (FXV[1:, :] - FXV[:-1, :]) / dx + (FYV[1:-1, 1:] - FYV[1:-1, :-1]) / dy
+    )
+    return drho_u, drho_v
+
+
+def update_velocity(U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v, dmomU, dmomV, dt, U, V):
+    """U = (rho_old*U_old + dt*dmomUdt)/rho  on the interior (src/FS.hpp:423-436)."""
+    U = U.at[1:-1, 1:-1].set(
+        (rho_u_old[1:-1, 1:-1] * U_old[1:-1, 1:-1] + dt * dmomU[1:-1, 1:-1]) / rho_u[1:-1, 1:-1]
+    )
+    V = V.at[1:-1, 1:-1].set(
+        (rho_v_old[1:-1, 1:-1] * V_old[1:-1, 1:-1] + dt * dmomV[1:-1, 1:-1]) / rho_v[1:-1, 1:-1]
+    )
+    return U, V
+
+
+def update_density(rho_u_old, rho_v_old, drho_u, drho_v, dt, rho_u, rho_v):
+    """rho = rho_old + dt*drhodt on the interior (src/FS.hpp:409-420)."""
+    rho_u = rho_u.at[1:-1, 1:-1].set(rho_u_old[1:-1, 1:-1] + dt * drho_u[1:-1, 1:-1])
+    rho_v = rho_v.at[1:-1, 1:-1].set(rho_v_old[1:-1, 1:-1] + dt * drho_v[1:-1, 1:-1])
+    return rho_u, rho_v
+
+
+# ---- two-phase property mixing (src/FS.hpp:594-650) -----------------------
+def mix_rho_staggered(vf: jnp.ndarray, rho_gas: float, rho_liquid: float, rho_u, rho_v):
+    """Linear-by-volume-fraction density, averaged onto the staggered faces;
+    ghost ring by Neumann fill (src/FS.hpp:594-612)."""
+    from fluidsolver_tpu.core.bc import apply_neumann_scalar
+
+    rho_c = vf * rho_liquid + (1.0 - vf) * rho_gas
+    rho_u = rho_u.at[1:-1, 1:-1].set(0.5 * (rho_c[:-1, :] + rho_c[1:, :])[:, 1:-1])
+    rho_u = apply_neumann_scalar(rho_u)
+    rho_v = rho_v.at[1:-1, 1:-1].set(0.5 * (rho_c[:, :-1] + rho_c[:, 1:])[1:-1, :])
+    rho_v = apply_neumann_scalar(rho_v)
+    return rho_u, rho_v
+
+
+def mix_visc(vf: jnp.ndarray, visc_gas: float, visc_liquid: float, arithmetic: bool = False):
+    """Harmonic (default) or arithmetic viscosity mixing on cell centers with
+    the VF_LOW/VF_HIGH pure-phase cutoffs; Neumann ghost fill
+    (src/FS.hpp:615-650)."""
+    from fluidsolver_tpu.core.bc import apply_neumann_scalar
+
+    if arithmetic:
+        visc = vf * visc_liquid + (1.0 - vf) * visc_gas
+    else:
+        harmonic = (visc_liquid * visc_gas) / (visc_liquid * (1.0 - vf) + visc_gas * vf)
+        visc = jnp.where(vf < VF_LOW, visc_gas, jnp.where(vf > VF_HIGH, visc_liquid, harmonic))
+    return apply_neumann_scalar(visc)
+
+
+# ---- surface tension as a staggered pressure jump (src/FS.hpp:439-466) ----
+def calc_pressure_jump(vf, curv, interface_length, sigma: float, dx: float, dy: float, p_jump_u, p_jump_v):
+    """p_jump = sigma * kappa_face * grad(vf), with the face curvature taken
+    as the interface-length-weighted average of the two adjacent cells."""
+    lm = interface_length[:-1, 1:-1]
+    lp = interface_length[1:, 1:-1]
+    total = lm + lp
+    curv_face = jnp.where(
+        total > 0.0, (curv[1:, 1:-1] * lp + curv[:-1, 1:-1] * lm) / jnp.where(total > 0.0, total, 1.0), 0.0
+    )
+    p_jump_u = jnp.zeros_like(p_jump_u).at[1:-1, 1:-1].set(
+        sigma * curv_face * (vf[1:, 1:-1] - vf[:-1, 1:-1]) / dx
+    )
+
+    lm = interface_length[1:-1, :-1]
+    lp = interface_length[1:-1, 1:]
+    total = lm + lp
+    curv_face = jnp.where(
+        total > 0.0, (curv[1:-1, 1:] * lp + curv[1:-1, :-1] * lm) / jnp.where(total > 0.0, total, 1.0), 0.0
+    )
+    p_jump_v = jnp.zeros_like(p_jump_v).at[1:-1, 1:-1].set(
+        sigma * curv_face * (vf[1:-1, 1:] - vf[1:-1, :-1]) / dy
+    )
+    return p_jump_u, p_jump_v
+
+
+# ---- CFL time-step controller (src/FS.hpp:100-128) ------------------------
+def adjust_dt(
+    U, V, rho_u, rho_v, visc, dx: float, dy: float,
+    rho_gas: float, rho_liquid: float, sigma: float,
+    cfl_max: float, dt_max: float,
+):
+    """Convective + viscous + capillary (Popinet 2018 / NGA2) CFL limit."""
+    if sigma > 0.0:
+        cfl_st = 1.0 / jnp.sqrt(
+            ((rho_gas + rho_liquid) * (dx * dy) ** 1.5) / (4.0 * jnp.pi * sigma)
+        )
+    else:
+        cfl_st = 0.0
+
+    u_c = 0.5 * (U[1:-2, 1:-1] + U[2:-1, 1:-1])
+    v_c = 0.5 * (V[1:-1, 1:-2] + V[1:-1, 2:-1])
+    cfl_cx = jnp.maximum(jnp.max(u_c) / dx, 0.0)
+    cfl_cy = jnp.maximum(jnp.max(v_c) / dy, 0.0)
+
+    rho_c = 0.25 * (
+        rho_u[1:-2, 1:-1] + rho_u[2:-1, 1:-1] + rho_v[1:-1, 1:-2] + rho_v[1:-1, 2:-1]
+    )
+    cfl_vx = jnp.maximum(jnp.max(4.0 * visc[1:-1, 1:-1] / (dx * dx * rho_c)), 0.0)
+    cfl_vy = jnp.maximum(jnp.max(4.0 * visc[1:-1, 1:-1] / (dy * dy * rho_c)), 0.0)
+
+    cfl = jnp.maximum(jnp.maximum(cfl_cx, cfl_cy), jnp.maximum(cfl_vx, cfl_vy))
+    cfl = jnp.maximum(cfl, cfl_st)
+    return jnp.minimum(cfl_max / cfl, dt_max)
+
+
+# ---- conserved-quantity diagnostics (src/FS.hpp:653-676) ------------------
+def conserved_quantities(U, V, rho_u, rho_v, dx: float, dy: float):
+    vol = dx * dy
+    mass = jnp.sum(
+        0.25 * (rho_u[1:-2, 1:-1] + rho_u[2:-1, 1:-1] + rho_v[1:-1, 1:-2] + rho_v[1:-1, 2:-1])
+    ) * vol
+    mom_x = jnp.sum(
+        0.5 * (rho_u[1:-2, 1:-1] * U[1:-2, 1:-1] + rho_u[2:-1, 1:-1] * U[2:-1, 1:-1])
+    ) * vol
+    mom_y = jnp.sum(
+        0.5 * (rho_v[1:-1, 1:-2] * V[1:-1, 1:-2] + rho_v[1:-1, 2:-1] * V[1:-1, 2:-1])
+    ) * vol
+    return mass, mom_x, mom_y
+
+
+# ---- outflow mass correction (examples/IncompSolver.cpp:72-83, 189-193) ---
+def inflow_outflow(U, rho_u):
+    inflow = jnp.sum(rho_u[0, :] * U[0, :])
+    outflow = jnp.sum(rho_u[-1, :] * U[-1, :])
+    return inflow, outflow, outflow - inflow
+
+
+def correct_outflow(U, rho_u, mass_error):
+    ncols = U.shape[1]
+    return U.at[-1, :].add(-mass_error / (rho_u[-1, :] * ncols))

@@ -1,0 +1,112 @@
+"""Staggered-grid stencil operators.
+
+Pure-array re-design of the reference's operator layer
+(reference: src/Operators.hpp:10-201). Every routine is a shifted-slice
+expression that XLA fuses; no loops, no scatter.
+
+Shape legend (see core/grid.py): center (nx+2, ny+2), U (nx+3, ny+2),
+V (nx+2, ny+3); interior = [1:-1, 1:-1].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# ---- staggered -> centered interpolation (src/Operators.hpp:10-29) --------
+def interp_u_center(U: jnp.ndarray) -> jnp.ndarray:
+    """Ui(i,j) = (U(i,j) + U(i+1,j))/2 over all cells incl. ghosts."""
+    return 0.5 * (U[:-1, :] + U[1:, :])
+
+
+def interp_v_center(V: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (V[:, :-1] + V[:, 1:])
+
+
+def interp_uv_center(u_stag: jnp.ndarray, v_stag: jnp.ndarray) -> jnp.ndarray:
+    """4-point average of a (u-stag, v-stag) pair onto cell centers."""
+    return 0.25 * (u_stag[:-1, :] + u_stag[1:, :] + v_stag[:, :-1] + v_stag[:, 1:])
+
+
+# ---- divergence (src/Operators.hpp:32-41) ---------------------------------
+def divergence(U: jnp.ndarray, V: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
+    """div(i,j) = dU/dx + dV/dy over all cells incl. ghosts."""
+    return (U[1:, :] - U[:-1, :]) / dx + (V[:, 1:] - V[:, :-1]) / dy
+
+
+# ---- Crank-Nicolson midpoint (src/Operators.hpp:44-49) --------------------
+def mid_time(curr: jnp.ndarray, old: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (curr + old)
+
+
+# ---- integrals & norms (src/Operators.hpp:52-82) --------------------------
+def integrate(f: jnp.ndarray, dx: float, dy: float, include_ghost: bool = False):
+    s = jnp.sum(f) if include_ghost else jnp.sum(f[1:-1, 1:-1])
+    return s * dx * dy
+
+
+def l1_norm(f: jnp.ndarray, dx: float, dy: float, include_ghost: bool = False):
+    s = jnp.sum(jnp.abs(f)) if include_ghost else jnp.sum(jnp.abs(f[1:-1, 1:-1]))
+    return s * dx * dy
+
+
+def shift_pressure_to_zero(dp: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
+    """Gauge fix. NOTE: the reference subtracts the *volume integral* (sum
+    times cell volume), not the mean — kept bit-compatible
+    (src/Operators.hpp:78-82)."""
+    return dp - integrate(dp, dx, dy, include_ghost=True)
+
+
+# ---- centered gradients with one-sided edge closure -----------------------
+def grad_centered(f: jnp.ndarray, dx: float, dy: float):
+    """d/dx and d/dy of a cell-centered field over the full ghost box, with
+    2nd-order one-sided stencils on the outermost rows/columns
+    (src/Operators.hpp:164-201)."""
+    dfdx = jnp.zeros_like(f)
+    dfdy = jnp.zeros_like(f)
+
+    dfdx = dfdx.at[1:-1, :].set((f[2:, :] - f[:-2, :]) / (2.0 * dx))
+    dfdx = dfdx.at[0, :].set((-3.0 * f[0, :] + 4.0 * f[1, :] - f[2, :]) / (2.0 * dx))
+    dfdx = dfdx.at[-1, :].set((3.0 * f[-1, :] - 4.0 * f[-2, :] + f[-3, :]) / (2.0 * dx))
+
+    dfdy = dfdy.at[:, 1:-1].set((f[:, 2:] - f[:, :-2]) / (2.0 * dy))
+    dfdy = dfdy.at[:, 0].set((-3.0 * f[:, 0] + 4.0 * f[:, 1] - f[:, 2]) / (2.0 * dy))
+    dfdy = dfdy.at[:, -1].set((3.0 * f[:, -1] - 4.0 * f[:, -2] + f[:, -3]) / (2.0 * dy))
+    return dfdx, dfdy
+
+
+# ---- point sampling (src/Operators.hpp:118-161) ---------------------------
+def sample_centered(field: jnp.ndarray, x0, dx: float, y0, dy: float, px, py):
+    """Bilinear sample of a cell-centered ghosted field at points (px, py),
+    clamped to the interior (constant extrapolation outside), replicating
+    ``eval_flow_field_at``'s index clamping (src/Operators.hpp:128-160).
+
+    ``x0``/``y0`` are the first *interior* center coordinates (xm(0), ym(0));
+    the interior has (nx, ny) cells = field.shape - 2.
+    """
+    nxi = field.shape[0] - 2
+    nyi = field.shape[1] - 2
+
+    def indices(pos, g0, delta, n):
+        prev = jnp.floor((pos - g0) / delta).astype(jnp.int32)
+        nxt = jnp.floor((pos - g0) / delta + 1.0).astype(jnp.int32)
+        lo = (pos <= g0) | (prev < 0)
+        hi = (pos >= g0 + (n - 1) * delta) | (nxt >= n)
+        prev = jnp.where(lo, 0, jnp.where(hi, n - 1, prev))
+        nxt = jnp.where(lo, 0, jnp.where(hi, n - 1, nxt))
+        return prev, nxt
+
+    ip, inx = indices(px, x0, dx, nxi)
+    jp, jnx = indices(py, y0, dy, nyi)
+
+    # logical interior index k -> array index k+1
+    f00 = field[ip + 1, jp + 1]
+    f10 = field[inx + 1, jp + 1]
+    f01 = field[ip + 1, jnx + 1]
+    f11 = field[inx + 1, jnx + 1]
+
+    xi = px - (x0 + ip * dx)
+    eta = py - (y0 + jp * dy)
+    a = (f10 - f00) / dx * xi + f00
+    b = (f11 - f01) / dx * xi + f01
+    return (b - a) / dy * eta + a
