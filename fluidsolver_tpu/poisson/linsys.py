@@ -1,0 +1,139 @@
+"""Variable-coefficient pressure-Poisson system assembly.
+
+Re-design of the reference's ``LinearSystem`` (src/LinearSystem.hpp:10-155):
+the 5-point operator ``-vol * div((1/rho_face) grad)`` is assembled over the
+FULL ghost-inclusive box — the unknowns are all (nx+2) x (ny+2) cells — with
+one-sided closure at the box edges (homogeneous Neumann), an optional
+Dirichlet-pinned edge, and mean subtraction of the RHS in the all-Neumann
+(singular) case.
+
+The operator is kept matrix-free as five coefficient arrays
+``(aC, aL, aR, aB, aT)``, each of box shape; this is what the multigrid and
+CG layers consume. Assembly is a handful of elementwise expressions, so
+unlike HYPRE PFMG there is no setup cost when rho changes every subiteration
+(the reference pays a full PFMG re-setup there, examples/TwoPhaseSolver.cpp:360).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core.fields import register_pytree_dataclass
+
+# Dirichlet pinning side (reference: PSDirichlet, src/LinearSystem.hpp:10)
+PIN_NONE = None
+PIN_LEFT = "left"
+PIN_RIGHT = "right"
+PIN_BOTTOM = "bottom"
+PIN_TOP = "top"
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class StencilOp:
+    """5-point operator as coefficient arrays over the box."""
+
+    aC: jnp.ndarray
+    aL: jnp.ndarray
+    aR: jnp.ndarray
+    aB: jnp.ndarray
+    aT: jnp.ndarray
+
+
+def assemble_pressure_operator(
+    rho_u: jnp.ndarray,
+    rho_v: jnp.ndarray,
+    dx: float,
+    dy: float,
+    pin: Optional[str] = PIN_NONE,
+) -> StencilOp:
+    """Build the operator from the staggered face densities
+    (src/LinearSystem.hpp:32-122). ``rho_u``: (nx+3, ny+2), ``rho_v``:
+    (nx+2, ny+3); box unknowns: (nx+2, ny+2)."""
+    vol = dx * dy
+    cx = vol / (dx * dx)
+    cy = vol / (dy * dy)
+
+    # face conductances for every box cell: left face of box cell b is
+    # rho_u[b], right face rho_u[b+1] (same index arithmetic as the C++).
+    gL = cx / rho_u[:-1, :]
+    gR = cx / rho_u[1:, :]
+    gB = cy / rho_v[:, :-1]
+    gT = cy / rho_v[:, 1:]
+
+    # one-sided closure at the box edges: drop the outward coupling AND its
+    # diagonal contribution (the reference adds neither).
+    edgeL = jnp.zeros_like(gL).at[1:, :].set(gL[1:, :])
+    edgeR = jnp.zeros_like(gR).at[:-1, :].set(gR[:-1, :])
+    edgeB = jnp.zeros_like(gB).at[:, 1:].set(gB[:, 1:])
+    edgeT = jnp.zeros_like(gT).at[:, :-1].set(gT[:, :-1])
+
+    aC = edgeL + edgeR + edgeB + edgeT
+    aL = -edgeL
+    aR = -edgeR
+    aB = -edgeB
+    aT = -edgeT
+
+    if pin is not None:
+        # Pinned edge: identity rows with zero RHS (src/LinearSystem.hpp:79-121).
+        # Additionally eliminate the couplings *into* the pinned cells — their
+        # value is exactly 0, so the solution is unchanged, and the reduced
+        # operator stays symmetric (required for CG; the reference hands the
+        # non-symmetrized version to HYPRE PCG, which merely tolerates it).
+        one = jnp.ones(())
+        zero = jnp.zeros(())
+        if pin == PIN_LEFT:
+            aC = aC.at[0, :].set(one); aL = aL.at[0, :].set(zero); aR = aR.at[0, :].set(zero)
+            aB = aB.at[0, :].set(zero); aT = aT.at[0, :].set(zero)
+            aL = aL.at[1, :].set(zero)
+        elif pin == PIN_RIGHT:
+            aC = aC.at[-1, :].set(one); aL = aL.at[-1, :].set(zero); aR = aR.at[-1, :].set(zero)
+            aB = aB.at[-1, :].set(zero); aT = aT.at[-1, :].set(zero)
+            aR = aR.at[-2, :].set(zero)
+        elif pin == PIN_BOTTOM:
+            aC = aC.at[:, 0].set(one); aL = aL.at[:, 0].set(zero); aR = aR.at[:, 0].set(zero)
+            aB = aB.at[:, 0].set(zero); aT = aT.at[:, 0].set(zero)
+            aB = aB.at[:, 1].set(zero)
+        elif pin == PIN_TOP:
+            aC = aC.at[:, -1].set(one); aL = aL.at[:, -1].set(zero); aR = aR.at[:, -1].set(zero)
+            aB = aB.at[:, -1].set(zero); aT = aT.at[:, -1].set(zero)
+            aT = aT.at[:, -2].set(zero)
+        else:
+            raise ValueError(f"unknown pin side: {pin}")
+
+    return StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
+
+
+def build_pressure_rhs(
+    div: jnp.ndarray, dx: float, dy: float, dt, pin: Optional[str] = PIN_NONE
+) -> jnp.ndarray:
+    """rhs = -vol * div / dt over the box; pinned edge zeroed, or (singular
+    case) the mean subtracted (src/LinearSystem.hpp:125-155)."""
+    vol = dx * dy
+    rhs = -vol * div / dt
+    if pin == PIN_LEFT:
+        rhs = rhs.at[0, :].set(0.0)
+    elif pin == PIN_RIGHT:
+        rhs = rhs.at[-1, :].set(0.0)
+    elif pin == PIN_BOTTOM:
+        rhs = rhs.at[:, 0].set(0.0)
+    elif pin == PIN_TOP:
+        rhs = rhs.at[:, -1].set(0.0)
+    elif pin is PIN_NONE:
+        rhs = rhs - jnp.mean(rhs)
+    else:
+        raise ValueError(f"unknown pin side: {pin}")
+    return rhs
+
+
+def apply_op(op: StencilOp, x: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-free y = A x with zero-flux box edges (edge coefficients are
+    already zero, so plain zero-padded shifts are exact)."""
+    xW = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
+    xE = jnp.pad(x[1:, :], ((0, 1), (0, 0)))
+    xS = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    xN = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    return op.aC * x + op.aL * xW + op.aR * xE + op.aB * xS + op.aT * xN

@@ -1,0 +1,155 @@
+"""Geometric multigrid V-cycle for the 5-point pressure operator.
+
+TPU-native replacement for HYPRE's PFMG preconditioner
+(reference: src/LinearSolver_StructHypre.hpp:217-237 — PFMG, 1 V-cycle,
+1 pre-/1 post-relaxation, <= 16 levels). Design choices:
+
+  * coarsening: 2x2 cell aggregation with piecewise-constant transfer and an
+    exact Galerkin (RAP) coarse operator — for a 5-point fine operator the
+    Galerkin product with PC transfers is again 5-point, so every level stays
+    matrix-free with five coefficient arrays (reshape-sums build it, no
+    sparse algebra needed);
+  * smoother: red-black Gauss-Seidel via checkerboard masks — each color
+    update is one dense stencil sweep + select, which XLA fuses;
+  * odd level sizes are zero-padded (decoupled dummy cells guarded by
+    ``aC == 0 -> 1`` in the smoother).
+
+All shapes are static; the V-cycle unrolls over the (static) level list, so
+the whole cycle jits into one XLA program with no host round trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core.fields import register_pytree_dataclass
+from fluidsolver_tpu.poisson.linsys import StencilOp, apply_op
+
+MAX_LEVELS = 16  # parity with PS_PFMG_MAX_LEVELS (LinearSolver_StructHypre.hpp:229)
+COARSEST = 4     # stop coarsening at <= 4 cells per side
+COARSE_SWEEPS = 16
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class MGLevel:
+    op: StencilOp
+    # checkerboard mask (1.0 on "red" cells), kept as an array for fusion
+    red: jnp.ndarray
+
+
+def _checkerboard(shape, dtype) -> jnp.ndarray:
+    ii = jnp.arange(shape[0])[:, None]
+    jj = jnp.arange(shape[1])[None, :]
+    return (((ii + jj) % 2) == 0).astype(dtype)
+
+
+def _pad_even(a: jnp.ndarray) -> jnp.ndarray:
+    px = a.shape[0] % 2
+    py = a.shape[1] % 2
+    if px or py:
+        a = jnp.pad(a, ((0, px), (0, py)))
+    return a
+
+
+def galerkin_coarsen(op: StencilOp) -> StencilOp:
+    """Exact RAP with piecewise-constant transfers over 2x2 blocks.
+
+    For block (I,J) = fine cells {2I,2I+1} x {2J,2J+1}:
+      aC_c = sum(aC_f) + internal x couplings + internal y couplings
+      aL_c = sum_j aL_f(2I, j),   aR_c = sum_j aR_f(2I+1, j)
+      aB_c = sum_i aB_f(i, 2J),   aT_c = sum_i aT_f(i, 2J+1)
+    """
+    aC = _pad_even(op.aC)
+    aL = _pad_even(op.aL)
+    aR = _pad_even(op.aR)
+    aB = _pad_even(op.aB)
+    aT = _pad_even(op.aT)
+    N, M = aC.shape
+    I, J = N // 2, M // 2
+
+    def blocks(a):
+        return a.reshape(I, 2, J, 2)
+
+    bC, bL, bR, bB, bT = map(blocks, (aC, aL, aR, aB, aT))
+
+    # internal couplings absorbed into the coarse diagonal
+    internal_x = bR[:, 0, :, :].sum(-1) + bL[:, 1, :, :].sum(-1)
+    internal_y = bT[:, :, :, 0].sum(1) + bB[:, :, :, 1].sum(1)
+    cC = bC.sum((1, 3)) + internal_x + internal_y
+
+    cL = bL[:, 0, :, :].sum(-1)
+    cR = bR[:, 1, :, :].sum(-1)
+    cB = bB[:, :, :, 0].sum(1)
+    cT = bT[:, :, :, 1].sum(1)
+    return StencilOp(aC=cC, aL=cL, aR=cR, aB=cB, aT=cT)
+
+
+def build_hierarchy(op: StencilOp) -> list[MGLevel]:
+    dtype = op.aC.dtype
+    levels = [MGLevel(op=op, red=_checkerboard(op.aC.shape, dtype))]
+    while (
+        len(levels) < MAX_LEVELS
+        and max(levels[-1].op.aC.shape) > COARSEST
+    ):
+        c = galerkin_coarsen(levels[-1].op)
+        levels.append(MGLevel(op=c, red=_checkerboard(c.aC.shape, dtype)))
+    return levels
+
+
+def restrict(r: jnp.ndarray) -> jnp.ndarray:
+    """R = P^T: sum over 2x2 blocks (zero-padding odd edges)."""
+    r = _pad_even(r)
+    N, M = r.shape
+    return r.reshape(N // 2, 2, M // 2, 2).sum((1, 3))
+
+
+def prolong(e: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    """P: piecewise-constant injection, cropped back to the fine shape."""
+    up = jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)
+    return up[: fine_shape[0], : fine_shape[1]]
+
+
+def _rb_sweep(level: MGLevel, x: jnp.ndarray, b: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """One red-black Gauss-Seidel sweep. ``reverse`` flips the color order
+    (black then red) — used in post-smoothing so the V-cycle is a symmetric
+    operator and PCG theory holds."""
+    op = level.op
+    aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
+
+    def color_update(x, mask):
+        ax_off = apply_op(op, x) - op.aC * x
+        x_new = (b - ax_off) / aC_safe
+        return jnp.where(mask > 0.5, x_new, x)
+
+    first = 1.0 - level.red if reverse else level.red
+    x = color_update(x, first)
+    x = color_update(x, 1.0 - first)
+    return x
+
+
+def v_cycle(levels: list[MGLevel], b: jnp.ndarray, n_pre: int = 1, n_post: int = 1) -> jnp.ndarray:
+    """One V(n_pre, n_post) cycle applied to zero initial guess: returns
+    an approximation of A^{-1} b (the PCG preconditioner application)."""
+
+    def cycle(lvl: int, b_l: jnp.ndarray) -> jnp.ndarray:
+        level = levels[lvl]
+        x = jnp.zeros_like(b_l)
+        if lvl == len(levels) - 1:
+            # symmetric coarse solve: forward/backward sweep pairs
+            for _ in range(COARSE_SWEEPS // 2):
+                x = _rb_sweep(level, x, b_l)
+                x = _rb_sweep(level, x, b_l, reverse=True)
+            return x
+        for _ in range(n_pre):
+            x = _rb_sweep(level, x, b_l)
+        r = b_l - apply_op(level.op, x)
+        ec = cycle(lvl + 1, restrict(r))
+        x = x + prolong(ec, b_l.shape)
+        for _ in range(n_post):
+            x = _rb_sweep(level, x, b_l, reverse=True)
+        return x
+
+    return cycle(0, b)

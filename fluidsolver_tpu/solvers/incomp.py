@@ -1,0 +1,123 @@
+"""Single-phase incompressible fractional-step solver.
+
+The canonical constant-density time step (reference:
+examples/IncompSolver.cpp:163-210): adaptive CFL dt, state rotation, then
+``num_subiter`` subiterations of { Crank-Nicolson midpoint -> momentum RHS ->
+velocity update -> BCs -> optional outflow correction -> divergence ->
+pressure Poisson solve -> gauge shift -> projection }.
+
+The whole step (including the PCG pressure solve) is one jittable pure
+function ``state -> state``; the host loop only reads back ``t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core import bc as bc_mod
+from fluidsolver_tpu.core.grid import Grid
+from fluidsolver_tpu.ops import momentum as mom
+from fluidsolver_tpu.ops import stencil
+from fluidsolver_tpu.poisson import cg, linsys
+from fluidsolver_tpu.solvers.config import SolverConfig
+from fluidsolver_tpu.solvers.state import FlowState, save_old
+
+
+def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig):
+    """Assemble + PCG-solve the pressure Poisson system; returns the gauge-
+    shifted increment delta_p and solver stats."""
+    op = linsys.assemble_pressure_operator(
+        state.rho_u, state.rho_v, grid.dx, grid.dy, cfg.pressure_pin
+    )
+    rhs = linsys.build_pressure_rhs(div, grid.dx, grid.dy, dt, cfg.pressure_pin)
+    delta_p, rel, iters = cg.solve_pcg(
+        op,
+        rhs,
+        tol=cfg.pressure_tol,
+        max_iter=cfg.pressure_max_iter,
+        singular=cfg.pressure_pin is None,
+        precond="mg",
+        n_pre=cfg.mg_pre,
+        n_post=cfg.mg_post,
+    )
+    delta_p = stencil.shift_pressure_to_zero(delta_p, grid.dx, grid.dy)
+    return delta_p, rel, iters
+
+
+def project_velocity(U, V, delta_p, rho_u, rho_v, dt, dx: float, dy: float):
+    """U -= dt/rho * grad(delta_p) on interior faces
+    (examples/TwoPhaseSolver.cpp:369-378)."""
+    dpdx = (delta_p[1:, 1:-1] - delta_p[:-1, 1:-1]) / dx
+    U = U.at[1:-1, 1:-1].add(-dpdx * dt / rho_u[1:-1, 1:-1])
+    dpdy = (delta_p[1:-1, 1:] - delta_p[1:-1, :-1]) / dy
+    V = V.at[1:-1, 1:-1].add(-dpdy * dt / rho_v[1:-1, 1:-1])
+    return U, V
+
+
+def make_step(grid: Grid, cfg: SolverConfig):
+    """Build the jitted single-phase step(state, t_end) -> state."""
+    rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
+
+    def subiter(state: FlowState, dt) -> FlowState:
+        U = stencil.mid_time(state.U, state.U_old)
+        V = stencil.mid_time(state.V, state.V_old)
+
+        dmomU, dmomV = mom.calc_dmomdt(
+            U, V, state.rho_u_old, state.rho_v_old, state.visc, state.p,
+            state.p_jump_u, state.p_jump_v, grid.dx, grid.dy, rho_eps,
+        )
+        if cfg.gravity != (0.0, 0.0):
+            gx, gy = cfg.gravity
+            dmomU = dmomU.at[1:-1, 1:-1].add(gx * state.rho_u[1:-1, 1:-1])
+            dmomV = dmomV.at[1:-1, 1:-1].add(gy * state.rho_v[1:-1, 1:-1])
+        U, V = mom.update_velocity(
+            state.U_old, state.V_old, state.rho_u_old, state.rho_v_old,
+            state.rho_u, state.rho_v, dmomU, dmomV, dt, U, V,
+        )
+        U, V = bc_mod.apply_velocity_bcs(U, V, grid, cfg.bcs, state.t)
+
+        if cfg.outflow_correction:
+            _, _, mass_err = mom.inflow_outflow(U, state.rho_u)
+            U = mom.correct_outflow(U, state.rho_u, mass_err)
+
+        div = stencil.divergence(U, V, grid.dx, grid.dy)
+        delta_p, rel, iters = pressure_solve(state, div, dt, grid, cfg)
+        p = state.p + delta_p
+        U, V = project_velocity(U, V, delta_p, state.rho_u, state.rho_v, dt, grid.dx, grid.dy)
+
+        return dataclasses.replace(
+            state, U=U, V=V, p=p, p_res=rel, p_iter=state.p_iter + iters
+        )
+
+    @jax.jit
+    def step(state: FlowState, t_end) -> FlowState:
+        dt = mom.adjust_dt(
+            state.U, state.V, state.rho_u, state.rho_v, state.visc,
+            grid.dx, grid.dy, cfg.rho_gas, cfg.rho_liquid, cfg.sigma,
+            cfg.cfl_max, cfg.dt_max,
+        )
+        dt = jnp.minimum(dt, t_end - state.t)
+        state = save_old(state)
+        state = dataclasses.replace(state, p_iter=jnp.zeros((), jnp.int32))
+        for _ in range(cfg.num_subiter):
+            state = subiter(state, dt)
+        return dataclasses.replace(state, t=state.t + dt, dt=dt)
+
+    return step
+
+
+def run(state: FlowState, t_end: float, grid: Grid, cfg: SolverConfig,
+        callback=None, max_steps: int = 1_000_000) -> FlowState:
+    """Host time loop: while t < t_end, mirroring the drivers' main loops."""
+    step = make_step(grid, cfg)
+    for _ in range(max_steps):
+        if float(state.t) >= t_end - 1e-14:
+            break
+        state = step(state, t_end)
+        if callback is not None:
+            callback(state)
+    return state

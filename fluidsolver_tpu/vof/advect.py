@@ -1,0 +1,246 @@
+"""Unsplit geometric VOF advection as dense vectorized 2D polygon clipping.
+
+Re-designs the reference's IRL-based advection (src/VOF.hpp:187-332) in
+2D-native form. The reference backtracks the 8 corners of a z-slab cell with
+RK4, inserts volume-corrected cap vertices per face (``Polyhedron24`` +
+``adjustCapToMatchVolume``), and accumulates overlap volumes against the 9
+neighbors' localized PLIC liquid regions. Here the z-invariant geometry is
+done directly in the plane:
+
+  * the 4 cell corners are RK4-backtracked through the clamped-bilinear
+    cell-centered velocity (same integrator as ``advect_point``,
+    src/VOF.hpp:66-85);
+  * each face gets a midpoint vertex, displaced along the face normal so the
+    face's swept (pentagon) area equals the discrete staggered flux
+    ``U_face * dy * dt`` — the closed-form 2D equivalent of
+    ``adjustCapToMatchVolume`` (src/VOF.hpp:251-289). The backtracked cell
+    is then an octagon whose area is exactly ``vol * (1 - dt*div)``;
+  * the new fraction is (octagon ∩ neighbor cell ∩ neighbor liquid
+    half-plane) summed over the 3x3 neighborhood, divided by the octagon
+    area (src/VOF.hpp:300-313). Pure-liquid or ghost neighbors with no
+    reconstruction contribute their full rectangle overlap, matching the
+    reference's zero-plane-separator semantics.
+
+Everything is fixed-shape masked compute: Sutherland-Hodgman clipping with
+K=16 vertex buffers, compaction by stable argsort, batched over all cells.
+Early exits (all-gas / all-liquid neighborhoods, src/VOF.hpp:198-214) become
+``where``-selects.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
+from fluidsolver_tpu.core.grid import Grid
+from fluidsolver_tpu.ops.stencil import sample_centered
+from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift
+
+K = 16  # vertex buffer size: octagon (8) + 4 rect clips + PLIC clip <= 13
+
+
+# ---- point backtracking (src/VOF.hpp:66-85) -------------------------------
+def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt):
+    """RK4 backward trace through the cell-centered interpolated velocity."""
+    x0 = grid.xm[1]
+    y0 = grid.ym[1]
+
+    def vel(x, y):
+        u = sample_centered(Ui, x0, grid.dx, y0, grid.dy, x, y)
+        v = sample_centered(Vi, x0, grid.dx, y0, grid.dy, x, y)
+        return u, v
+
+    u1, v1 = vel(px, py)
+    u2, v2 = vel(px - 0.5 * dt * u1, py - 0.5 * dt * v1)
+    u3, v3 = vel(px - 0.5 * dt * u2, py - 0.5 * dt * v2)
+    u4, v4 = vel(px - dt * u3, py - dt * v3)
+    return (
+        px - dt / 6.0 * (u1 + 2.0 * u2 + 2.0 * u3 + u4),
+        py - dt / 6.0 * (v1 + 2.0 * v2 + 2.0 * v3 + v4),
+    )
+
+
+# ---- fixed-size polygon helpers ------------------------------------------
+def _poly_area(vx, vy, n):
+    """Signed shoelace area of polygons with ``n`` valid leading vertices."""
+    idx = jnp.arange(K)
+    valid = idx < n[..., None]
+    nxt = jnp.where(idx + 1 >= n[..., None], 0, idx + 1)
+    x2 = jnp.take_along_axis(vx, nxt, axis=-1)
+    y2 = jnp.take_along_axis(vy, nxt, axis=-1)
+    contrib = jnp.where(valid, vx * y2 - x2 * vy, 0.0)
+    return 0.5 * jnp.sum(contrib, axis=-1)
+
+
+def _clip_halfplane(vx, vy, n, a, b, c):
+    """Sutherland-Hodgman clip against {a x + b y <= c}.
+
+    (vx, vy): (..., K) vertex buffers with ``n`` valid; (a, b, c)
+    broadcastable to the batch. Returns new (vx, vy, n).
+    """
+    idx = jnp.arange(K)
+    valid = idx < n[..., None]
+    d = a[..., None] * vx + b[..., None] * vy - c[..., None]
+    inside = (d <= 0.0) & valid
+
+    nxt = jnp.where(idx + 1 >= n[..., None], 0, idx + 1)
+    d_n = jnp.take_along_axis(d, nxt, axis=-1)
+    vx_n = jnp.take_along_axis(vx, nxt, axis=-1)
+    vy_n = jnp.take_along_axis(vy, nxt, axis=-1)
+    inside_n = jnp.take_along_axis(inside, nxt, axis=-1)
+
+    denom = d - d_n
+    t = jnp.where(jnp.abs(denom) > 0.0, d / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+    ix = vx + t * (vx_n - vx)
+    iy = vy + t * (vy_n - vy)
+
+    emit_v = inside
+    emit_i = (inside ^ inside_n) & valid
+
+    # interleave: slot 2k = vertex k, slot 2k+1 = intersection on edge k
+    def interleave(a1, a2):
+        return jnp.stack([a1, a2], axis=-1).reshape(*a1.shape[:-1], 2 * K)
+
+    out_x = interleave(vx, ix)
+    out_y = interleave(vy, iy)
+    flags = interleave(emit_v, emit_i)
+
+    # stable compaction: flagged slots first, order preserved
+    pos = jnp.arange(2 * K)
+    keys = jnp.where(flags, pos, 2 * K + pos)
+    order = jnp.argsort(keys, axis=-1)
+    out_x = jnp.take_along_axis(out_x, order, axis=-1)[..., :K]
+    out_y = jnp.take_along_axis(out_y, order, axis=-1)[..., :K]
+    new_n = jnp.sum(flags, axis=-1).astype(n.dtype)
+    # zero the tail so downstream arithmetic stays finite
+    tail = jnp.arange(K) >= new_n[..., None]
+    out_x = jnp.where(tail, 0.0, out_x)
+    out_y = jnp.where(tail, 0.0, out_y)
+    return out_x, out_y, new_n
+
+
+def _pentagon_area(p0x, p0y, p1x, p1y, a1x, a1y, mx, my, a0x, a0y):
+    """Shoelace of the face-swept pentagon (p0, p1, a1, m, a0)."""
+    return 0.5 * (
+        p0x * p1y - p1x * p0y
+        + p1x * a1y - a1x * p1y
+        + a1x * my - mx * a1y
+        + mx * a0y - a0x * my
+        + a0x * p0y - p0x * a0y
+    )
+
+
+def _face_midpoint(a0x, a0y, a1x, a1y, p0x, p0y, p1x, p1y, target):
+    """Cap vertex on face (a1 -> m -> a0): midpoint of (a0, a1) displaced
+    perpendicular so the pentagon area hits ``target`` (2D analog of
+    IRL adjustCapToMatchVolume)."""
+    cx = 0.5 * (a0x + a1x)
+    cy = 0.5 * (a0y + a1y)
+    quad = _pentagon_area(p0x, p0y, p1x, p1y, a1x, a1y, cx, cy, a0x, a0y)
+    ex = a0x - a1x
+    ey = a0y - a1y
+    elen = jnp.sqrt(ex * ex + ey * ey)
+    # triangle (a1, m, a0) area = 0.5 * eta * |e|  for m = c + eta * (ey,-ex)/|e|
+    eta = jnp.where(elen > 0.0, 2.0 * (target - quad) / jnp.where(elen == 0.0, 1.0, elen), 0.0)
+    mx = cx + eta * ey / jnp.where(elen == 0.0, 1.0, elen)
+    my = cy - eta * ex / jnp.where(elen == 0.0, 1.0, elen)
+    return mx, my
+
+
+def advect(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt):
+    """One unsplit geometric advection of the VOF field.
+
+    Returns (vf_new, max_volume_error). ``vf_old`` ghost values are kept
+    (the reference never rewrites ghost fractions after init)."""
+    nx, ny = grid.nx, grid.ny
+    dx, dy = grid.dx, grid.dy
+    dtype = vf_old.dtype
+
+    # ---- backtrack the (nx+1) x (ny+1) interior corner points -------------
+    cx = jnp.asarray(grid.x[1:-1], dtype)
+    cy = jnp.asarray(grid.y[1:-1], dtype)
+    PX, PY = jnp.meshgrid(cx, cy, indexing="ij")
+    AX, AY = backtrack_rk4(PX, PY, Ui, Vi, grid, dt)
+
+    # per-cell corner positions in CELL-LOCAL coordinates (origin = cell's
+    # lower-left corner) for precision
+    X0 = PX[:-1, :-1]
+    Y0 = PY[:-1, :-1]
+    a00x, a00y = AX[:-1, :-1] - X0, AY[:-1, :-1] - Y0
+    a10x, a10y = AX[1:, :-1] - X0, AY[1:, :-1] - Y0
+    a11x, a11y = AX[1:, 1:] - X0, AY[1:, 1:] - Y0
+    a01x, a01y = AX[:-1, 1:] - X0, AY[:-1, 1:] - Y0
+
+    # ---- face-flux-matched midpoints --------------------------------------
+    U_W = U[1:-2, 1:-1]
+    U_E = U[2:-1, 1:-1]
+    V_S = V[1:-1, 1:-2]
+    V_N = V[1:-1, 2:-1]
+
+    zeros = jnp.zeros_like(a00x)
+    dxa = jnp.full_like(a00x, dx)
+    dya = jnp.full_like(a00x, dy)
+
+    # CCW faces: S (p00->p10), E (p10->p11), N (p11->p01), W (p01->p00)
+    mSx, mSy = _face_midpoint(a00x, a00y, a10x, a10y, zeros, zeros, dxa, zeros, -V_S * dx * dt)
+    mEx, mEy = _face_midpoint(a10x, a10y, a11x, a11y, dxa, zeros, dxa, dya, U_E * dy * dt)
+    mNx, mNy = _face_midpoint(a11x, a11y, a01x, a01y, dxa, dya, zeros, dya, V_N * dx * dt)
+    mWx, mWy = _face_midpoint(a01x, a01y, a00x, a00y, zeros, dya, zeros, zeros, -U_W * dy * dt)
+
+    # ---- octagon buffers ---------------------------------------------------
+    oct_x = jnp.stack([a00x, mSx, a10x, mEx, a11x, mNx, a01x, mWx], axis=-1)
+    oct_y = jnp.stack([a00y, mSy, a10y, mEy, a11y, mNy, a01y, mWy], axis=-1)
+    pad = jnp.zeros((nx, ny, K - 8), dtype)
+    oct_x = jnp.concatenate([oct_x, pad], axis=-1)
+    oct_y = jnp.concatenate([oct_y, pad], axis=-1)
+    n8 = jnp.full((nx, ny), 8, jnp.int32)
+
+    oct_area = _poly_area(oct_x, oct_y, n8)
+    cell_area = dx * dy
+    volume_error = jnp.abs(cell_area - jnp.abs(oct_area))
+
+    # ---- overlap accumulation over the 3x3 neighborhood --------------------
+    # all 9 neighbors processed as ONE batched clip pipeline (leading axis 9)
+    # — 9x smaller XLA graph than unrolling the loop, same math.
+    vf_nb = jnp.stack([_shift(vf_old, di, dj) for di, dj in _NEIGHBOR_OFFSETS])
+    mixed = jnp.stack([_shift(rec.valid, di, dj) for di, dj in _NEIGHBOR_OFFSETS])
+    pnx = jnp.stack([_shift(rec.nx, di, dj) for di, dj in _NEIGHBOR_OFFSETS])
+    pny = jnp.stack([_shift(rec.ny, di, dj) for di, dj in _NEIGHBOR_OFFSETS])
+    pd = jnp.stack([_shift(rec.d, di, dj) for di, dj in _NEIGHBOR_OFFSETS])
+    offs = jnp.asarray(_NEIGHBOR_OFFSETS, dtype)
+    x_lo = (offs[:, 0] * dx)[:, None, None] * jnp.ones((1, nx, ny), dtype)
+    y_lo = (offs[:, 1] * dy)[:, None, None] * jnp.ones((1, nx, ny), dtype)
+
+    ones9 = jnp.ones_like(x_lo)
+    zeros9 = jnp.zeros_like(x_lo)
+    vx = jnp.broadcast_to(oct_x, (9, nx, ny, K))
+    vy = jnp.broadcast_to(oct_y, (9, nx, ny, K))
+    n = jnp.broadcast_to(n8, (9, nx, ny))
+    vx, vy, n = _clip_halfplane(vx, vy, n, -ones9, zeros9, -x_lo)
+    vx, vy, n = _clip_halfplane(vx, vy, n, ones9, zeros9, x_lo + dx)
+    vx, vy, n = _clip_halfplane(vx, vy, n, zeros9, -ones9, -y_lo)
+    vx, vy, n = _clip_halfplane(vx, vy, n, zeros9, ones9, y_lo + dy)
+
+    # PLIC liquid half-plane in the target cell's local frame; disabled
+    # (always-true plane 0 <= 1) when the neighbor has no reconstruction
+    a_p = jnp.where(mixed, pnx, 0.0)
+    b_p = jnp.where(mixed, pny, 0.0)
+    c_p = jnp.where(mixed, pd + pnx * x_lo + pny * y_lo, 1.0)
+    vx, vy, n = _clip_halfplane(vx, vy, n, a_p, b_p, c_p)
+
+    area = _poly_area(vx, vy, n)
+    overlap = jnp.sum(jnp.where(vf_nb > VF_LOW, area, 0.0), axis=0)
+
+    vf_new = overlap / jnp.where(oct_area == 0.0, 1.0, oct_area)
+
+    # ---- early exits (src/VOF.hpp:198-214) ---------------------------------
+    nb_sum = jnp.zeros((nx, ny), dtype)
+    for di, dj in _NEIGHBOR_OFFSETS:
+        nb_sum = nb_sum + _shift(vf_old, di, dj)
+    all_gas = nb_sum < VF_LOW
+    all_liq = nb_sum >= 9.0 * VF_HIGH
+    vf_new = jnp.where(all_gas, 0.0, jnp.where(all_liq, 1.0, vf_new))
+    volume_error = jnp.where(all_gas | all_liq, 0.0, volume_error)
+
+    vf_out = vf_old.at[1:-1, 1:-1].set(vf_new)
+    return vf_out, jnp.max(volume_error)

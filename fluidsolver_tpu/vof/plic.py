@@ -1,0 +1,276 @@
+"""PLIC geometry core: 2D-native, branchless, fully vectorized.
+
+Replaces the IRL-backed interface reconstruction layer (reference:
+src/IR.hpp, src/VOF.hpp:142-184). The reference cuts 3D z-invariant
+polyhedra with IRL; here the geometry is done directly in 2D closed form:
+
+  * ``area_fraction``: exact area of a half-plane ∩ rectangle (corner
+    inclusion-exclusion formula) — replaces IRL volume moments for cuboids;
+  * ``plane_constant``: analytic inverse (find the line offset that matches
+    a prescribed fraction) — replaces IRL's iterative volume matching;
+  * ``elvira``: vectorized ELVIRA — the finite candidate-slope search of
+    ``IRL::reconstructionWithELVIRA2D`` evaluated as dense masked compute
+    (12 candidates x 9 neighbor fractions per cell);
+  * ``segment_endpoints``: PLIC line ∩ cell boundary, the 2D analog of
+    ``get_intersections_with_cell`` (src/VOF.hpp:368-422).
+
+Conventions: per-cell local coordinates with origin at the cell's lower-left
+corner; the liquid region of a cell is {p : n . p <= d} with |n| = 1.
+All quantities are per-cell arrays over the full ghost box (nx+2, ny+2);
+reconstructions are valid only where ``valid`` is set (interior mixed cells,
+like the reference's ``for_each_i`` + ``has_interface`` gating).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
+from fluidsolver_tpu.core.fields import register_pytree_dataclass
+
+_DEG_EPS = 1e-12  # relative threshold for an axis-aligned normal component
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class Plic:
+    """Per-cell planar interface: liquid = {p : nx*p_x + ny*p_y <= d} in
+    cell-local coordinates (origin at the cell's lower-left corner)."""
+
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    d: jnp.ndarray
+    valid: jnp.ndarray  # bool: interior mixed cell with a reconstruction
+
+
+def _pos_area(a, b, c, w, h):
+    """Area of {a x + b y <= c} in [0,w]x[0,h] for a,b >= 0 (possibly
+    degenerate). Corner inclusion-exclusion with axis-aligned fallbacks."""
+    aw = a * w
+    bh = b * h
+    scale = aw + bh
+    a_deg = aw <= _DEG_EPS * scale
+    b_deg = bh <= _DEG_EPS * scale
+
+    # generic corner formula (guard denominator for the degenerate branches)
+    ab = jnp.where(a_deg | b_deg, 1.0, a * b)
+    p0 = jnp.maximum(c, 0.0)
+    p1 = jnp.maximum(c - aw, 0.0)
+    p2 = jnp.maximum(c - bh, 0.0)
+    p3 = jnp.maximum(c - aw - bh, 0.0)
+    area_gen = (p0 * p0 - p1 * p1 - p2 * p2 + p3 * p3) / (2.0 * ab)
+
+    # a ~ 0: horizontal line y = c/b ;  b ~ 0: vertical line x = c/a
+    safe_b = jnp.where(b_deg, 1.0, b)
+    safe_a = jnp.where(a_deg, 1.0, a)
+    area_a0 = w * jnp.clip(c / safe_b, 0.0, h)
+    area_b0 = h * jnp.clip(c / safe_a, 0.0, w)
+    both = a_deg & b_deg  # degenerate normal: all-or-nothing
+    area_both = jnp.where(c >= 0.0, w * h, 0.0)
+
+    return jnp.where(both, area_both, jnp.where(a_deg, area_a0, jnp.where(b_deg, area_b0, area_gen)))
+
+
+def area_fraction(nx, ny, d, w, h):
+    """FRACTION of the rectangle [0,w]x[0,h] covered by {nx x + ny y <= d}.
+
+    Signs of (nx, ny) arbitrary; reduced to the positive quadrant by
+    reflections (x -> w - x flips nx and shifts d)."""
+    a = jnp.abs(nx)
+    b = jnp.abs(ny)
+    c = d - jnp.minimum(nx, 0.0) * w - jnp.minimum(ny, 0.0) * h
+    return _pos_area(a, b, c, w, h) / (w * h)
+
+
+def plane_constant(nx, ny, frac, w, h):
+    """Inverse of ``area_fraction``: the d with area_fraction(nx,ny,d,w,h)
+    == frac (frac clipped to [0,1]). Exact piecewise closed form."""
+    frac = jnp.clip(frac, 0.0, 1.0)
+    a = jnp.abs(nx)
+    b = jnp.abs(ny)
+    aw = a * w
+    bh = b * h
+    scale = aw + bh
+    a_deg = aw <= _DEG_EPS * scale
+    b_deg = bh <= _DEG_EPS * scale
+
+    A = frac * w * h
+    n1 = jnp.minimum(aw, bh)
+    n2 = jnp.maximum(aw, bh)
+    ab = jnp.where(a_deg | b_deg, 1.0, a * b)
+    A_tri = n1 * n1 / (2.0 * ab)          # area when c = n1
+    wh = w * h
+
+    # three regimes: corner triangle, mid band, complement triangle
+    c_tri = jnp.sqrt(jnp.maximum(2.0 * ab * A, 0.0))
+    safe_n1 = jnp.where(n1 <= 0.0, 1.0, n1)
+    c_mid = A * ab / safe_n1 + 0.5 * n1
+    c_top = (n1 + n2) - jnp.sqrt(jnp.maximum(2.0 * ab * (wh - A), 0.0))
+    c = jnp.where(A <= A_tri, c_tri, jnp.where(A <= wh - A_tri, c_mid, c_top))
+
+    # axis-aligned normals
+    safe_b = jnp.where(b_deg, 1.0, b)
+    safe_a = jnp.where(a_deg, 1.0, a)
+    c = jnp.where(a_deg & ~b_deg, frac * h * safe_b, c)
+    c = jnp.where(b_deg & ~a_deg, frac * w * safe_a, c)
+    c = jnp.where(a_deg & b_deg, jnp.where(frac > 0.5, 1.0, -1.0), c)
+
+    # undo the reflections
+    return c + jnp.minimum(nx, 0.0) * w + jnp.minimum(ny, 0.0) * h
+
+
+def has_interface(vf):
+    """Mixed-cell predicate (src/IR.hpp:19-23)."""
+    return (vf > VF_LOW) & (vf < VF_HIGH)
+
+
+_NEIGHBOR_OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+
+def _shift(f, di, dj):
+    """f(i+di, j+dj) for interior cells: view of the ghosted array.
+
+    Input (nx+2, ny+2), output (nx, ny) — the interior block shifted."""
+    return f[1 + di : f.shape[0] - 1 + di, 1 + dj : f.shape[1] - 1 + dj]
+
+
+def elvira(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
+    """Vectorized ELVIRA reconstruction over all interior cells.
+
+    Candidate normals from backward/central/forward column- and row-height
+    slopes (both orientations, 12 candidates); the winner minimizes the
+    squared mismatch of reproduced fractions over the 3x3 neighborhood —
+    the same finite search as IRL's ELVIRA (reconstruction is exact for
+    linear interfaces).
+    """
+    nxc, nyc = vf.shape[0] - 2, vf.shape[1] - 2
+    vfn = {(di, dj): _shift(vf, di, dj) for di, dj in _NEIGHBOR_OFFSETS}
+
+    # column heights (integrals of vf along y) and row heights
+    col = {di: (vfn[(di, -1)] + vfn[(di, 0)] + vfn[(di, 1)]) * dy for di in (-1, 0, 1)}
+    row = {dj: (vfn[(-1, dj)] + vfn[(0, dj)] + vfn[(1, dj)]) * dx for dj in (-1, 0, 1)}
+
+    slopes_y = [  # dh/dx of the vertical height function
+        (col[0] - col[-1]) / dx,
+        (col[1] - col[-1]) / (2.0 * dx),
+        (col[1] - col[0]) / dx,
+    ]
+    slopes_x = [  # dw/dy of the horizontal height function
+        (row[0] - row[-1]) / dy,
+        (row[1] - row[-1]) / (2.0 * dy),
+        (row[1] - row[0]) / dy,
+    ]
+
+    # Liquid below the height curve y=col(x): outward normal (-s, +1)/norm.
+    # Liquid above: the interface sits at y_top - col(x), whose slope is -s,
+    # giving outward normal (-s, -1)/norm — only the axis component flips.
+    candidates = []
+    for s in slopes_y:
+        norm = jnp.sqrt(s * s + 1.0)
+        candidates.append((-s / norm, 1.0 / norm))     # liquid below
+        candidates.append((-s / norm, -1.0 / norm))    # liquid above
+    for s in slopes_x:
+        norm = jnp.sqrt(s * s + 1.0)
+        candidates.append((1.0 / norm, -s / norm))     # liquid left
+        candidates.append((-1.0 / norm, -s / norm))    # liquid right
+
+    vf0 = vfn[(0, 0)]
+    best_err = jnp.full((nxc, nyc), jnp.inf, vf.dtype)
+    best_nx = jnp.zeros((nxc, nyc), vf.dtype)
+    best_ny = jnp.ones((nxc, nyc), vf.dtype)
+    best_d = jnp.zeros((nxc, nyc), vf.dtype)
+
+    for cnx, cny in candidates:
+        d = plane_constant(cnx, cny, vf0, dx, dy)
+        err = jnp.zeros_like(vf0)
+        for di, dj in _NEIGHBOR_OFFSETS:
+            # translate d into the neighbor's local frame
+            d_n = d - (cnx * di * dx + cny * dj * dy)
+            pred = area_fraction(cnx, cny, d_n, dx, dy)
+            err = err + (pred - vfn[(di, dj)]) ** 2
+        better = err < best_err
+        best_err = jnp.where(better, err, best_err)
+        best_nx = jnp.where(better, cnx, best_nx)
+        best_ny = jnp.where(better, cny, best_ny)
+        best_d = jnp.where(better, d, best_d)
+
+    valid_int = has_interface(vf0)
+
+    # embed back into the full ghost box (ghost cells: no reconstruction,
+    # mirroring the reference's interior-only ELVIRA loop)
+    def embed(x, fill):
+        return jnp.full(vf.shape, fill, vf.dtype).at[1:-1, 1:-1].set(x)
+
+    return Plic(
+        nx=embed(best_nx, 0.0),
+        ny=embed(best_ny, 1.0),
+        d=embed(best_d, 0.0),
+        valid=jnp.zeros(vf.shape, bool).at[1:-1, 1:-1].set(valid_int),
+    )
+
+
+def segment_endpoints(plic: Plic, w: float, h: float, eps_rel: float = 1e-6):
+    """Intersection segment of each cell's PLIC line with its cell boundary,
+    in cell-local coordinates.
+
+    2D analog of ``get_intersections_with_cell`` (src/VOF.hpp:368-422): test
+    the 4 rectangle edges, keep in-bounds intersections, return the pair
+    with maximal separation. Returns (p0, p1) stacked as (..., 2) arrays.
+    (The bounds tolerance is relative to the cell size; the reference uses
+    an absolute 1e-6, src/VOF.hpp:384.)
+    """
+    corners = [
+        (0.0, 0.0),
+        (w, 0.0),
+        (w, h),
+        (0.0, h),
+    ]
+    eps = eps_rel * max(w, h)
+    big = 4.0 * (w + h)
+
+    pts_x, pts_y, ok = [], [], []
+    for k in range(4):
+        x0, y0 = corners[k]
+        x1, y1 = corners[(k + 1) % 4]
+        d0 = plic.nx * x0 + plic.ny * y0 - plic.d
+        d1 = plic.nx * x1 + plic.ny * y1 - plic.d
+        denom = d0 - d1
+        t = jnp.where(jnp.abs(denom) > 1e-300, d0 / jnp.where(denom == 0.0, 1.0, denom), big)
+        px = x0 + t * (x1 - x0)
+        py = y0 + t * (y1 - y0)
+        inb = (px >= -eps) & (px <= w + eps) & (py >= -eps) & (py <= h + eps)
+        pts_x.append(px)
+        pts_y.append(py)
+        ok.append(inb)
+
+    px = jnp.stack(pts_x, axis=-1)
+    py = jnp.stack(pts_y, axis=-1)
+    okv = jnp.stack(ok, axis=-1)
+
+    # best pair among the 6 combinations: max separation with both valid
+    best = None
+    for a in range(4):
+        for b in range(a + 1, 4):
+            d2 = (px[..., a] - px[..., b]) ** 2 + (py[..., a] - py[..., b]) ** 2
+            d2 = jnp.where(okv[..., a] & okv[..., b], d2, -1.0)
+            cand = (d2, px[..., a], py[..., a], px[..., b], py[..., b])
+            if best is None:
+                best = cand
+            else:
+                better = d2 > best[0]
+                best = tuple(jnp.where(better, c, bc) for c, bc in zip(cand, best))
+
+    _, x0, y0, x1, y1 = best
+    p0 = jnp.stack([x0, y0], axis=-1)
+    p1 = jnp.stack([x1, y1], axis=-1)
+    return p0, p1
+
+
+def interface_length(plic: Plic, w: float, h: float):
+    """Per-cell PLIC segment length; 0 where no interface
+    (src/VOF.hpp:335-365)."""
+    p0, p1 = segment_endpoints(plic, w, h)
+    length = jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=-1))
+    return jnp.where(plic.valid, length, 0.0)

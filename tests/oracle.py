@@ -175,14 +175,22 @@ def assemble_poisson(nx, ny, rho_u, rho_v, dx, dy, dirichlet=None):
                 aC[bi, bj] += vol / (dy * dy * rho_v[bi, bj]) + vol / (dy * dy * rho_v[bi, bj + 1])
                 aB[bi, bj] += -vol / (dy * dy * rho_v[bi, bj])
                 aT[bi, bj] += -vol / (dy * dy * rho_v[bi, bj + 1])
+    # Pinned identity rows + symmetric elimination of couplings into the
+    # pinned cells (deliberate deviation from src/LinearSystem.hpp:79-121,
+    # which leaves the matrix non-symmetric; solution is identical since the
+    # pinned value is exactly zero).
     if dirichlet == "left":
         aC[0, :] = 1.0; aL[0, :] = aR[0, :] = aB[0, :] = aT[0, :] = 0.0
+        aL[1, :] = 0.0
     elif dirichlet == "right":
         aC[-1, :] = 1.0; aL[-1, :] = aR[-1, :] = aB[-1, :] = aT[-1, :] = 0.0
+        aR[-2, :] = 0.0
     elif dirichlet == "bottom":
         aC[:, 0] = 1.0; aL[:, 0] = aR[:, 0] = aB[:, 0] = aT[:, 0] = 0.0
+        aB[:, 1] = 0.0
     elif dirichlet == "top":
         aC[:, -1] = 1.0; aL[:, -1] = aR[:, -1] = aB[:, -1] = aT[:, -1] = 0.0
+        aT[:, -2] = 0.0
     return aC, aL, aR, aB, aT
 
 

@@ -1,0 +1,77 @@
+"""Taylor-Green vortex decay: the end-to-end single-phase accuracy gate.
+
+Replicates test/TaylorGreenVortex.cpp:56-233 — periodic box, analytic decaying
+vortex, L1(U - exact) < 3*max(dx,dy)^2 at the final time.
+
+The default-suite variant runs 64^2 to T=1.2 (same tolerance law, which
+scales with dx^2, so it is an equally strict 2nd-order-accuracy check);
+set FS_FULL_TESTS=1 for the reference's exact 128^2 / T=5 configuration.
+"""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidsolver_tpu.core import bc
+from fluidsolver_tpu.core.grid import make_grid
+from fluidsolver_tpu.solvers import incomp
+from fluidsolver_tpu.solvers.config import SolverConfig
+from fluidsolver_tpu.solvers.state import init_flow_state
+
+VISC = 0.1
+RHO = 0.9
+
+FULL = os.environ.get("FS_FULL_TESTS") == "1"
+N = 128 if FULL else 64
+T_END = 5.0 if FULL else 1.2
+
+
+def F(t):
+    return np.exp(-2.0 * VISC / RHO * t)
+
+
+def u_exact(x, y, t):
+    return np.sin(x) * np.cos(y) * F(t)
+
+
+def v_exact(x, y, t):
+    return -np.cos(x) * np.sin(y) * F(t)
+
+
+def test_taylor_green_vortex():
+    g = make_grid(0.0, 2.0 * np.pi, N, 0.0, 2.0 * np.pi, N)
+    per = bc.Periodic()
+    cfg = SolverConfig(
+        rho_gas=RHO, rho_liquid=RHO, visc_gas=VISC, visc_liquid=VISC,
+        cfl_max=0.5, dt_max=1e-2, num_subiter=2,
+        pressure_tol=1e-6, pressure_max_iter=500,
+        bcs=bc.FlowBCs(per, per, per, per),
+    )
+    state = init_flow_state(g, RHO, VISC)
+    X, Y = np.meshgrid(g.x, g.ym, indexing="ij")
+    Xv, Yv = np.meshgrid(g.xm, g.y, indexing="ij")
+    state = dataclasses.replace(
+        state,
+        U=jnp.asarray(u_exact(X, Y, 0.0)),
+        V=jnp.asarray(v_exact(Xv, Yv, 0.0)),
+    )
+    U, V = bc.apply_velocity_bcs(state.U, state.V, g, cfg.bcs)
+    state = dataclasses.replace(state, U=U, V=V)
+
+    state = incomp.run(state, T_END, g, cfg)
+
+    U = np.asarray(state.U)
+    V = np.asarray(state.V)
+    assert not np.any(np.isnan(U)), "NaN in U"
+    assert not np.any(np.isnan(V)), "NaN in V"
+
+    vol = g.dx * g.dy
+    tol = 3.0 * max(g.dx, g.dy) ** 2
+    l1_u = np.sum(np.abs(U - u_exact(X, Y, float(state.t)))) * vol
+    l1_v = np.sum(np.abs(V - v_exact(Xv, Yv, float(state.t)))) * vol
+    assert l1_u < tol, f"L1(U) = {l1_u:.3e} > {tol:.3e}"
+    assert l1_v < tol, f"L1(V) = {l1_v:.3e} > {tol:.3e}"
+    assert abs(float(state.t) - T_END) < 1e-12

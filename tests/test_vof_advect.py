@@ -1,0 +1,117 @@
+"""VOF geometric advection invariants.
+
+Replicates test/ConstantVelocityVOF.cpp:40-178 and
+test/LinearVelocityVOF.cpp: per step the fraction bounds stay in [0,1] to
+1e-12, total mass is conserved to 1e-12, the backtracked-cell volume error
+is < 1e-12, and the center of mass moves with the prescribed velocity.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidsolver_tpu.core.grid import make_grid
+from fluidsolver_tpu.ops import stencil
+from fluidsolver_tpu.vof import advect as adv
+from fluidsolver_tpu.vof import plic
+from fluidsolver_tpu.vof.init import liquid_fraction_from_indicator
+
+
+def _center_of_mass(vf, g):
+    mass = float(jnp.sum(vf[1:-1, 1:-1])) * g.dx * g.dy
+    X, Y = np.meshgrid(g.xm[1:-1], g.ym[1:-1], indexing="ij")
+    wx = float(jnp.sum(jnp.asarray(X) * vf[1:-1, 1:-1])) * g.dx * g.dy
+    wy = float(jnp.sum(jnp.asarray(Y) * vf[1:-1, 1:-1])) * g.dx * g.dy
+    return wx / mass, wy / mass
+
+
+def _check_vof(vf, init_int, g, eps=1e-12):
+    vmin = float(jnp.min(vf))
+    vmax = float(jnp.max(vf))
+    integral = float(jnp.sum(vf)) * g.dx * g.dy
+    assert abs(vmin) <= eps, f"min(vf) = {vmin:.3e}"
+    assert abs(vmax - 1.0) <= eps, f"max(vf) = {vmax:.3e}"
+    assert abs(integral - init_int) <= eps, f"mass error = {abs(integral-init_int):.3e}"
+
+
+def _advect_loop(g, vf, U, V, dt, n_iter, check_com=None):
+    import jax
+
+    Ui = stencil.interp_u_center(U)
+    Vi = stencil.interp_v_center(V)
+
+    @jax.jit
+    def one(vf):
+        rec = plic.elvira(vf, g.dx, g.dy)
+        return adv.advect(vf, rec, U, V, Ui, Vi, g, dt)
+
+    init_int = float(jnp.sum(vf)) * g.dx * g.dy
+    com0 = _center_of_mass(vf, g)
+    max_vol_err = 0.0
+    for it in range(n_iter):
+        vf, vol_err = one(vf)
+        max_vol_err = max(max_vol_err, float(vol_err))
+        assert float(vol_err) < 1e-12, f"iter {it}: volume error {float(vol_err):.3e}"
+        _check_vof(vf, init_int, g)
+        if check_com is not None:
+            ex, ey = check_com(com0, (it + 1) * dt)
+            cx, cy = _center_of_mass(vf, g)
+            dist = np.hypot(cx - ex, cy - ey)
+            assert dist < 5e-5, f"iter {it}: center-of-mass drift {dist:.3e}"
+    return vf
+
+
+N_ITER_QUICK = 10  # reference runs 120 at 128^2; the invariants are per-step
+
+
+def test_constant_velocity_vof():
+    g = make_grid(0.0, 1.0, 64, 0.0, 1.0, 64)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.25) ** 2 + (y - 0.25) ** 2 <= 0.125**2, g
+        )
+    )
+    U0, V0 = 1.0, 0.5
+    U = jnp.full(g.shape_u, U0)
+    V = jnp.full(g.shape_v, V0)
+    dt = 5e-3
+
+    _advect_loop(
+        g, vf, U, V, dt, N_ITER_QUICK,
+        check_com=lambda c0, t: (c0[0] + t * U0, c0[1] + t * V0),
+    )
+
+
+def test_linear_velocity_vof():
+    # solenoidal linear field U = a*(x-0.5), V = -a*(y-0.5): straining flow
+    g = make_grid(0.0, 1.0, 64, 0.0, 1.0, 64)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.5) ** 2 + (y - 0.5) ** 2 <= 0.15**2, g
+        )
+    )
+    a = 0.3
+    Xu, _ = np.meshgrid(g.x, g.ym, indexing="ij")
+    _, Yv = np.meshgrid(g.xm, g.y, indexing="ij")
+    U = jnp.asarray(a * (Xu - 0.5))
+    V = jnp.asarray(-a * (Yv - 0.5))
+    dt = 5e-3
+    _advect_loop(g, vf, U, V, dt, 8)
+
+
+@pytest.mark.slow
+def test_constant_velocity_vof_full():
+    # the reference's full 120-iteration run
+    g = make_grid(0.0, 1.0, 128, 0.0, 1.0, 128)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.25) ** 2 + (y - 0.25) ** 2 <= 0.125**2, g
+        )
+    )
+    U0, V0 = 1.0, 0.5
+    U = jnp.full(g.shape_u, U0)
+    V = jnp.full(g.shape_v, V0)
+    _advect_loop(
+        g, vf, U, V, 5e-3, 120,
+        check_com=lambda c0, t: (c0[0] + t * U0, c0[1] + t * V0),
+    )
