@@ -1,0 +1,69 @@
+"""Headline benchmark: full two-phase 1024^2 step time on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): the driver-imposed north star is a full two-phase
+1024^2 step (momentum + Poisson + VOF) in < 10 ms on a v5e chip, so
+vs_baseline = 10 ms / measured (>1 is better than target).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N = int(os.environ.get("FS_BENCH_N", "1024"))
+STEPS = int(os.environ.get("FS_BENCH_STEPS", "10"))
+TARGET_MS = 10.0
+
+
+def main():
+    import jax
+
+    # production precision on TPU: f32 fields (f64 is emulated and slow)
+    import jax.numpy as jnp
+
+    from fluidsolver_tpu.core import bc
+    from fluidsolver_tpu.core.grid import make_grid
+    from fluidsolver_tpu.solvers import twophase
+    from fluidsolver_tpu.solvers.config import SolverConfig
+    from fluidsolver_tpu.vof.init import liquid_fraction_from_indicator
+
+    g = make_grid(0.0, 1.0, N, 0.0, 1.0, N)
+    cfg = SolverConfig(
+        rho_gas=1.0, rho_liquid=1e3, visc_gas=1e-6, visc_liquid=1e-3,
+        sigma=1.0 / 200.0, cfl_max=0.9, dt_max=1e-2, num_subiter=5,
+        pressure_tol=1e-6, pressure_max_iter=50,
+        bcs=bc.FlowBCs(
+            bc.Dirichlet(u=0.5, v=0.0), bc.Neumann(),
+            bc.Dirichlet(u=0.0, v=0.0), bc.Dirichlet(u=0.0, v=0.0),
+        ),
+        outflow_correction=True,
+    )
+    vf0 = liquid_fraction_from_indicator(
+        lambda x, y: (x - 0.3) ** 2 + (y - 0.5) ** 2 <= 0.1**2, g
+    )
+    state = twophase.init_two_phase_state(g, cfg, vf0, dtype=jnp.float32)
+    step = twophase.make_step(g, cfg)
+
+    # warmup/compile
+    state = step(state, 1e9)
+    jax.block_until_ready(state.vf)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state = step(state, 1e9)
+    jax.block_until_ready(state.vf)
+    ms = (time.perf_counter() - t0) / STEPS * 1e3
+
+    print(json.dumps({
+        "metric": f"two_phase_step_{N}x{N}_ms",
+        "value": round(ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(TARGET_MS / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,8 +103,8 @@ def make_step(grid: Grid, cfg: SolverConfig):
         dt = jnp.minimum(dt, t_end - state.t)
         state = save_old(state)
         state = dataclasses.replace(state, p_iter=jnp.zeros((), jnp.int32))
-        for _ in range(cfg.num_subiter):
-            state = subiter(state, dt)
+        # fori_loop so the subiteration (incl. the pressure solve) compiles once
+        state = jax.lax.fori_loop(0, cfg.num_subiter, lambda _, s: subiter(s, dt), state)
         return dataclasses.replace(state, t=state.t + dt, dt=dt)
 
     return step

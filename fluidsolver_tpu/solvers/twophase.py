@@ -1,0 +1,193 @@
+"""Two-phase VOF Navier-Stokes solver.
+
+The canonical coupled time step (reference: examples/TwoPhaseSolver.cpp:
+264-401, and with gravity examples/RisingBubble.cpp:417-470):
+
+  dt (CFL incl. capillary + gravity limits) -> state rotation ->
+  ELVIRA reconstruction of vf_old -> rho from vf_old -> geometric VOF
+  advection -> viscosity from new vf -> subiterations of {
+    Crank-Nicolson midpoint; consistent density transport; momentum with
+    hybrid upwinding; BCs + outflow fix; divergence; curvature + pressure-
+    jump increment folded into the Poisson RHS; variable-coefficient MG-PCG
+    solve (operator rebuilt every subiteration — assembly is elementwise,
+    unlike the reference's costly HYPRE PFMG re-setup); projection }.
+
+One jitted pure function per step; host loop reads back only ``t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core import bc as bc_mod
+from fluidsolver_tpu.core import fields
+from fluidsolver_tpu.core.fields import register_pytree_dataclass
+from fluidsolver_tpu.core.grid import Grid
+from fluidsolver_tpu.ops import momentum as mom
+from fluidsolver_tpu.ops import stencil
+from fluidsolver_tpu.solvers import incomp
+from fluidsolver_tpu.solvers.config import SolverConfig
+from fluidsolver_tpu.solvers.state import FlowState, init_flow_state
+from fluidsolver_tpu.vof import advect as adv
+from fluidsolver_tpu.vof import plic
+from fluidsolver_tpu.vof.curvature import curvature_quad_volume_matching
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class TwoPhaseState:
+    flow: FlowState
+    vf: jnp.ndarray
+    vf_old: jnp.ndarray
+    curv: jnp.ndarray
+    interface_length: jnp.ndarray
+    vof_vol_error: jnp.ndarray
+
+
+def init_two_phase_state(grid: Grid, cfg: SolverConfig, vf0, dtype=None) -> TwoPhaseState:
+    """vf0: cell fractions over the full ghost box (e.g. from
+    vof.init.liquid_fraction_from_indicator)."""
+    flow = init_flow_state(grid, cfg.rho_gas, cfg.visc_gas, dtype)
+    vf = jnp.asarray(vf0, dtype=flow.p.dtype)
+    rho_u, rho_v = mom.mix_rho_staggered(vf, cfg.rho_gas, cfg.rho_liquid, flow.rho_u, flow.rho_v)
+    visc = mom.mix_visc(vf, cfg.visc_gas, cfg.visc_liquid, cfg.arithmetic_visc)
+    flow = dataclasses.replace(
+        flow, rho_u=rho_u, rho_v=rho_v, rho_u_old=rho_u, rho_v_old=rho_v, visc=visc
+    )
+    return TwoPhaseState(
+        flow=flow,
+        vf=vf,
+        vf_old=vf,
+        curv=jnp.zeros_like(vf),
+        interface_length=jnp.zeros_like(vf),
+        vof_vol_error=jnp.zeros((), vf.dtype),
+    )
+
+
+def make_step(grid: Grid, cfg: SolverConfig):
+    rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
+    gx, gy = cfg.gravity
+
+    def subiter(fs: FlowState, vof_state, dt, t) -> FlowState:
+        vf_old, rec, curv, iface_len = vof_state
+
+        U = stencil.mid_time(fs.U, fs.U_old)
+        V = stencil.mid_time(fs.V, fs.V_old)
+
+        # consistent density transport (TwoPhaseSolver.cpp:287-295)
+        drho_u, drho_v = mom.calc_drhodt(U, V, fs.rho_u_old, fs.rho_v_old, grid.dx, grid.dy, rho_eps)
+        rho_u, rho_v = mom.update_density(fs.rho_u_old, fs.rho_v_old, drho_u, drho_v, dt, fs.rho_u, fs.rho_v)
+        rho_u = bc_mod.apply_neumann_scalar(rho_u)
+        rho_v = bc_mod.apply_neumann_scalar(rho_v)
+
+        # momentum (TwoPhaseSolver.cpp:298-306) + gravity (RisingBubble.cpp:453-455)
+        dmomU, dmomV = mom.calc_dmomdt(
+            U, V, fs.rho_u_old, fs.rho_v_old, fs.visc, fs.p,
+            fs.p_jump_u, fs.p_jump_v, grid.dx, grid.dy, rho_eps,
+        )
+        if gx != 0.0:
+            dmomU = dmomU.at[1:-1, 1:-1].add(rho_u[1:-1, 1:-1] * gx)
+        if gy != 0.0:
+            dmomV = dmomV.at[1:-1, 1:-1].add(rho_v[1:-1, 1:-1] * gy)
+        U, V = mom.update_velocity(
+            fs.U_old, fs.V_old, fs.rho_u_old, fs.rho_v_old, rho_u, rho_v, dmomU, dmomV, dt, U, V
+        )
+        U, V = bc_mod.apply_velocity_bcs(U, V, grid, cfg.bcs, t)
+
+        if cfg.outflow_correction:
+            _, _, mass_err = mom.inflow_outflow(U, rho_u)
+            U = mom.correct_outflow(U, rho_u, mass_err)
+
+        div = stencil.divergence(U, V, grid.dx, grid.dy)
+
+        # capillary forcing: pressure-jump increment folded into the RHS
+        # (TwoPhaseSolver.cpp:322-346)
+        pj_u_new, pj_v_new = mom.calc_pressure_jump(
+            vf_old, curv, iface_len, cfg.sigma, grid.dx, grid.dy, fs.p_jump_u, fs.p_jump_v
+        )
+        dpj_u = pj_u_new - fs.p_jump_u
+        dpj_v = pj_v_new - fs.p_jump_v
+        div = div.at[1:-1, 1:-1].add(
+            dt * (
+                (dpj_u[2:-1, 1:-1] / rho_u[2:-1, 1:-1] - dpj_u[1:-2, 1:-1] / rho_u[1:-2, 1:-1]) / grid.dx
+                + (dpj_v[1:-1, 2:-1] / rho_v[1:-1, 2:-1] - dpj_v[1:-1, 1:-2] / rho_v[1:-1, 1:-2]) / grid.dy
+            )
+        )
+
+        fs = dataclasses.replace(fs, rho_u=rho_u, rho_v=rho_v, p_jump_u=pj_u_new, p_jump_v=pj_v_new)
+        delta_p, rel, iters = incomp.pressure_solve(fs, div, dt, grid, cfg)
+        p = fs.p + delta_p
+        U, V = incomp.project_velocity(U, V, delta_p, rho_u, rho_v, dt, grid.dx, grid.dy)
+
+        return dataclasses.replace(
+            fs, U=U, V=V, p=p, p_res=rel, p_iter=fs.p_iter + iters
+        )
+
+    @jax.jit
+    def step(state: TwoPhaseState, t_end) -> TwoPhaseState:
+        fs = state.flow
+        dt = mom.adjust_dt(
+            fs.U, fs.V, fs.rho_u, fs.rho_v, fs.visc, grid.dx, grid.dy,
+            cfg.rho_gas, cfg.rho_liquid, cfg.sigma, cfg.cfl_max, cfg.dt_max,
+        )
+        if gy != 0.0:
+            dt = jnp.minimum(dt, cfg.cfl_max * jnp.sqrt(grid.dy / abs(gy)))
+        if gx != 0.0:
+            dt = jnp.minimum(dt, cfg.cfl_max * jnp.sqrt(grid.dx / abs(gx)))
+        dt = jnp.minimum(dt, t_end - fs.t)
+
+        # state rotation: velocity now, density after remixing from vf_old
+        fs = dataclasses.replace(fs, U_old=fs.U, V_old=fs.V)
+        vf_old = state.vf
+
+        # reconstruct vf_old; rho from vf_old; rotate density
+        rec = plic.elvira(vf_old, grid.dx, grid.dy)
+        rho_u, rho_v = mom.mix_rho_staggered(vf_old, cfg.rho_gas, cfg.rho_liquid, fs.rho_u, fs.rho_v)
+        fs = dataclasses.replace(fs, rho_u=rho_u, rho_v=rho_v, rho_u_old=rho_u, rho_v_old=rho_v)
+
+        # geometric VOF advection with the current velocity
+        Ui = stencil.interp_u_center(fs.U)
+        Vi = stencil.interp_v_center(fs.V)
+        vf, vol_err = adv.advect(vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt)
+
+        # viscosity from the NEW vf (TwoPhaseSolver.cpp:279)
+        visc = mom.mix_visc(vf, cfg.visc_gas, cfg.visc_liquid, cfg.arithmetic_visc)
+        fs = dataclasses.replace(fs, visc=visc, p_iter=jnp.zeros((), jnp.int32))
+
+        # curvature + interface length from the vf_old reconstruction
+        # (recomputed every subiteration in the reference via the unchanged
+        # reconstruction — values are identical, so compute once here)
+        curv = curvature_quad_volume_matching(vf_old, rec, grid)
+        iface_len = plic.interface_length(rec, grid.dx, grid.dy)
+
+        # fori_loop (not Python unroll): the subiteration body — including the
+        # MG-PCG pressure solve — is traced and compiled ONCE, which keeps
+        # XLA compile times sane for deep graphs
+        fs = jax.lax.fori_loop(
+            0, cfg.num_subiter,
+            lambda _, f: subiter(f, (vf_old, rec, curv, iface_len), dt, f.t),
+            fs,
+        )
+
+        fs = dataclasses.replace(fs, t=fs.t + dt, dt=dt)
+        return TwoPhaseState(
+            flow=fs, vf=vf, vf_old=vf_old, curv=curv,
+            interface_length=iface_len, vof_vol_error=vol_err,
+        )
+
+    return step
+
+
+def run(state: TwoPhaseState, t_end: float, grid: Grid, cfg: SolverConfig,
+        callback=None, max_steps: int = 1_000_000) -> TwoPhaseState:
+    step = make_step(grid, cfg)
+    for _ in range(max_steps):
+        if float(state.flow.t) >= t_end - 1e-14:
+            break
+        state = step(state, t_end)
+        if callback is not None:
+            callback(state)
+    return state

@@ -166,35 +166,32 @@ def elvira(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
     # Liquid below the height curve y=col(x): outward normal (-s, +1)/norm.
     # Liquid above: the interface sits at y_top - col(x), whose slope is -s,
     # giving outward normal (-s, -1)/norm — only the axis component flips.
-    candidates = []
+    # All 12 candidates are evaluated as ONE batched axis (small XLA graph).
+    cand_nx, cand_ny = [], []
     for s in slopes_y:
         norm = jnp.sqrt(s * s + 1.0)
-        candidates.append((-s / norm, 1.0 / norm))     # liquid below
-        candidates.append((-s / norm, -1.0 / norm))    # liquid above
+        cand_nx += [-s / norm, -s / norm]
+        cand_ny += [1.0 / norm, -1.0 / norm]
     for s in slopes_x:
         norm = jnp.sqrt(s * s + 1.0)
-        candidates.append((1.0 / norm, -s / norm))     # liquid left
-        candidates.append((-1.0 / norm, -s / norm))    # liquid right
+        cand_nx += [jnp.broadcast_to(1.0 / norm, s.shape), jnp.broadcast_to(-1.0 / norm, s.shape)]
+        cand_ny += [-s / norm, -s / norm]
+    cnx = jnp.stack(cand_nx)  # (12, nxc, nyc)
+    cny = jnp.stack(cand_ny)
 
     vf0 = vfn[(0, 0)]
-    best_err = jnp.full((nxc, nyc), jnp.inf, vf.dtype)
-    best_nx = jnp.zeros((nxc, nyc), vf.dtype)
-    best_ny = jnp.ones((nxc, nyc), vf.dtype)
-    best_d = jnp.zeros((nxc, nyc), vf.dtype)
+    d = plane_constant(cnx, cny, vf0[None], dx, dy)
+    err = jnp.zeros_like(d)
+    for di, dj in _NEIGHBOR_OFFSETS:
+        # translate d into the neighbor's local frame
+        d_n = d - (cnx * di * dx + cny * dj * dy)
+        pred = area_fraction(cnx, cny, d_n, dx, dy)
+        err = err + (pred - vfn[(di, dj)][None]) ** 2
 
-    for cnx, cny in candidates:
-        d = plane_constant(cnx, cny, vf0, dx, dy)
-        err = jnp.zeros_like(vf0)
-        for di, dj in _NEIGHBOR_OFFSETS:
-            # translate d into the neighbor's local frame
-            d_n = d - (cnx * di * dx + cny * dj * dy)
-            pred = area_fraction(cnx, cny, d_n, dx, dy)
-            err = err + (pred - vfn[(di, dj)]) ** 2
-        better = err < best_err
-        best_err = jnp.where(better, err, best_err)
-        best_nx = jnp.where(better, cnx, best_nx)
-        best_ny = jnp.where(better, cny, best_ny)
-        best_d = jnp.where(better, d, best_d)
+    best = jnp.argmin(err, axis=0)[None]
+    best_nx = jnp.take_along_axis(cnx, best, axis=0)[0]
+    best_ny = jnp.take_along_axis(cny, best, axis=0)[0]
+    best_d = jnp.take_along_axis(d, best, axis=0)[0]
 
     valid_int = has_interface(vf0)
 
