@@ -14,6 +14,16 @@ Key deviations from the reference (deliberate, TPU-first):
     single chip and jax.sharding over a device mesh across chips
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the VOF clip pipeline and the MG-PCG
+# V-cycles are expensive to compile; caching amortizes it across processes.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "fluidsolver_tpu_xla"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 from fluidsolver_tpu.version import __version__
 
 __all__ = ["__version__", "enable_x64", "default_dtype"]

@@ -1,0 +1,157 @@
+"""DFG 2D cylinder benchmark kit.
+
+Re-design of examples/DFGBenchmarkSetup.hpp:22-413: the standard
+Schäfer-Turek flow-around-cylinder setups (DFG 2D-1 steady, 2D-2 periodic,
+2D-3 pulsed) with the drag/lift/pressure-difference evaluators used by the
+{DiffuseIB,SharpIB,LuchiniIB}-DFG drivers. Benchmark quantities are
+literature-comparable: C_D ~ 5.58, C_L ~ 0.0107, dp ~ 0.1175 for 2D-1.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsolver_tpu.cases.registry import Case, register
+from fluidsolver_tpu.core import bc
+from fluidsolver_tpu.core.grid import Grid, make_grid
+from fluidsolver_tpu.ib.geometry import Circle
+from fluidsolver_tpu.ops.stencil import sample_centered
+from fluidsolver_tpu.solvers.config import SolverConfig
+
+WALL = Circle(0.2, 0.2, 0.05)
+L = 2.0 * WALL.r
+RHO = 1.0
+VISC = 1e-3
+Y_MAX = 0.41
+X_MAX = 2.2
+
+
+def u_mean(benchmark: int, t) -> float:
+    """Mean inflow velocity (DFGBenchmarkSetup.hpp:76-86)."""
+    if benchmark == 1:
+        return 2.0 / 3.0 * 0.3
+    if benchmark == 2:
+        return 2.0 / 3.0 * 1.5
+    return 2.0 / 3.0 * 1.5 * math.sin(math.pi * t / 8.0)
+
+
+def reynolds(benchmark: int, t=0.0) -> float:
+    return RHO * u_mean(benchmark, t) * L / VISC
+
+
+def calc_p_diff(p, grid: Grid):
+    """p(0.15, 0.2) - p(0.25, 0.2): front/back stagnation pressure diff
+    (DFGBenchmarkSetup.hpp:165-192)."""
+    xs = jnp.asarray([0.15, 0.25], p.dtype)
+    ys = jnp.asarray([0.2, 0.2], p.dtype)
+    vals = sample_centered(p, grid.xm[1], grid.dx, grid.ym[1], grid.dy, xs, ys)
+    return vals[0] - vals[1]
+
+
+def calc_c_d(p, U, grid: Grid, um: float):
+    """Drag coefficient by the row-wise surface-pressure + deviatoric-stress
+    sum (the active variant, DFGBenchmarkSetup.hpp:333-360)."""
+    g = grid
+    ym = jnp.asarray(g.ym[1:-1], p.dtype)          # interior centers
+    inside = jnp.abs(ym - WALL.y) <= WALL.r
+    half = jnp.sqrt(jnp.maximum(WALL.r**2 - (ym - WALL.y) ** 2, 0.0))
+    x_left = WALL.x - half
+    x_right = WALL.x + half
+    x0 = g.x[1]
+    i_left = jnp.floor((x_left - x0) / g.dx).astype(jnp.int32)
+    i_right = jnp.floor((x_right - x0) / g.dx).astype(jnp.int32)
+    jj = jnp.arange(g.ny, dtype=jnp.int32)
+
+    p_l = p[i_left + 1, jj + 1]
+    p_r = p[i_right + 1, jj + 1]
+    # one-sided dudx just outside the surface (logical U indices i, i+1)
+    dudx_l = (U[i_left + 1, jj + 1] - U[i_left, jj + 1]) / g.dx
+    dudx_r = (U[i_right + 2, jj + 1] - U[i_right + 1, jj + 1]) / g.dx
+    contrib = ((p_l - p_r) + 2.0 * VISC * (dudx_r - dudx_l)) * g.dy
+    drag = jnp.sum(jnp.where(inside, contrib, 0.0))
+    return 2.0 * drag / (RHO * um**2 * L)
+
+
+def calc_c_l(p, V, grid: Grid, um: float):
+    """Lift coefficient, column-wise analog (DFGBenchmarkSetup.hpp:365-393)."""
+    g = grid
+    xm = jnp.asarray(g.xm[1:-1], p.dtype)
+    inside = jnp.abs(xm - WALL.x) <= WALL.r
+    half = jnp.sqrt(jnp.maximum(WALL.r**2 - (xm - WALL.x) ** 2, 0.0))
+    y_bottom = WALL.y - half
+    y_top = WALL.y + half
+    y0 = g.y[1]
+    j_bottom = jnp.floor((y_bottom - y0) / g.dy).astype(jnp.int32)
+    j_top = jnp.floor((y_top - y0) / g.dy).astype(jnp.int32)
+    ii = jnp.arange(g.nx, dtype=jnp.int32)
+
+    p_b = p[ii + 1, j_bottom + 1]
+    p_t = p[ii + 1, j_top + 1]
+    dvdy_b = (V[ii + 1, j_bottom + 1] - V[ii + 1, j_bottom]) / g.dy
+    dvdy_t = (V[ii + 1, j_top + 2] - V[ii + 1, j_top + 1]) / g.dy
+    contrib = -((p_b - p_t) + 2.0 * VISC * (dvdy_t - dvdy_b)) * g.dx
+    lift = jnp.sum(jnp.where(inside, contrib, 0.0))
+    return 2.0 * lift / (RHO * um**2 * L)
+
+
+def _dfg_case(name: str, ib_mode: str, ny: int, benchmark: int, scheme: str = "quadratic") -> Case:
+    nx = int(ny * X_MAX / Y_MAX)
+    g = make_grid(0.0, X_MAX, nx, 0.0, Y_MAX, ny)
+
+    if benchmark == 3:
+        def inflow(y, t):
+            u = 1.5 * jnp.sin(jnp.pi * t / 8.0)
+            return 4.0 * u * y * (Y_MAX - y) / Y_MAX**2
+    else:
+        u_peak = 0.3 if benchmark == 1 else 1.5
+
+        def inflow(y, t):
+            return 4.0 * u_peak * y * (Y_MAX - y) / Y_MAX**2
+
+    cfg = SolverConfig(
+        rho_gas=RHO, rho_liquid=RHO, visc_gas=VISC, visc_liquid=VISC,
+        cfl_max=0.5, dt_max=1e-2, num_subiter=5,
+        pressure_tol=1e-6, pressure_max_iter=50,
+        bcs=bc.FlowBCs(
+            bc.Dirichlet(u=inflow, v=0.0), bc.Neumann(clipped=True),
+            bc.Dirichlet(), bc.Dirichlet(),
+        ),
+        outflow_correction=True,
+        ib_mode=ib_mode,
+    )
+
+    def build(grid):
+        if ib_mode == "diffuse":
+            from fluidsolver_tpu.ib import diffuse
+
+            return diffuse.solid_fractions(WALL.contains, grid)
+        if ib_mode == "sharp":
+            from fluidsolver_tpu.ib import sharp
+
+            return sharp.build(WALL, grid, scheme=scheme)
+        from fluidsolver_tpu.ib import luchini
+
+        return luchini.correction_fields(WALL, grid)
+
+    return Case(
+        name, g, cfg, t_end=8.0, dt_write=2e-2, ib_builder=build,
+        meta=dict(wall=WALL, benchmark=benchmark, Re=reynolds(benchmark, 4.0)),
+    )
+
+
+@register("diffuse_ib_dfg")
+def diffuse_ib_dfg(ny: int = 64, benchmark: int = 1) -> Case:
+    return _dfg_case("diffuse_ib_dfg", "diffuse", ny, benchmark)
+
+
+@register("sharp_ib_dfg")
+def sharp_ib_dfg(ny: int = 64, benchmark: int = 1, scheme: str = "quadratic") -> Case:
+    return _dfg_case("sharp_ib_dfg", "sharp", ny, benchmark, scheme)
+
+
+@register("luchini_ib_dfg")
+def luchini_ib_dfg(ny: int = 64, benchmark: int = 1) -> Case:
+    return _dfg_case("luchini_ib_dfg", "luchini", ny, benchmark)

@@ -32,6 +32,8 @@ class Case:
     u0: Optional[Callable] = None
     v0: Optional[Callable] = None
     two_phase: bool = False
+    # builds precomputed IB fields for cfg.ib_mode (called once per grid)
+    ib_builder: Optional[Callable] = None
     meta: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def make_state(self, dtype=None):
@@ -70,7 +72,8 @@ class Case:
 
         if self.two_phase:
             return twophase.make_step(self.grid, self.cfg)
-        return incomp.make_step(self.grid, self.cfg)
+        ib = self.ib_builder(self.grid) if self.ib_builder is not None else None
+        return incomp.make_step(self.grid, self.cfg, ib=ib)
 
 
 _REGISTRY: Dict[str, Callable[..., Case]] = {}
@@ -157,6 +160,83 @@ def taylor_green(n: int = 128, visc: float = 0.1, rho: float = 0.9) -> Case:
         return -np.cos(x) * np.sin(y)
 
     return Case("taylor_green", g, cfg, t_end=5.0, dt_write=1e-2, u0=u0, v0=v0)
+
+
+# ===========================================================================
+# Immersed-boundary channel cases (examples/{DiffuseIB,SharpIB,IB-Luchini}.cpp)
+# ===========================================================================
+def _ib_channel_base(ny: int, ib_mode: str) -> tuple:
+    y_max = 1.0
+    x_max = 5.0
+    nx = int(ny * x_max / y_max)
+    g = make_grid(0.0, x_max, nx, 0.0, y_max, ny)
+
+    def inflow(y, t):
+        return 4.0 * 1.5 * y * (y_max - y) / y_max**2
+
+    cfg = SolverConfig(
+        rho_gas=1.0, rho_liquid=1.0, visc_gas=1e-3, visc_liquid=1e-3,
+        cfl_max=0.5, dt_max=1e-2, num_subiter=5,
+        pressure_tol=1e-6, pressure_max_iter=50,
+        bcs=bc.FlowBCs(
+            bc.Dirichlet(u=inflow, v=0.0), bc.Neumann(clipped=True),
+            bc.Dirichlet(), bc.Dirichlet(),
+        ),
+        outflow_correction=True,
+        ib_mode=ib_mode,
+    )
+    return g, cfg
+
+
+@register("diffuse_ib_channel")
+def diffuse_ib_channel(ny: int = 128) -> Case:
+    """Channel with a circular obstacle, diffuse volume-penalty forcing
+    (examples/DiffuseIB.cpp: circle (1.0, 0.5, r=0.15))."""
+    from fluidsolver_tpu.ib import diffuse
+    from fluidsolver_tpu.ib.geometry import Circle
+
+    g, cfg = _ib_channel_base(ny, "diffuse")
+    wall = Circle(1.0, 0.5, 0.15)
+
+    def build(grid):
+        return diffuse.solid_fractions(wall.contains, grid)
+
+    return Case("diffuse_ib_channel", g, cfg, t_end=5.0, dt_write=5e-2,
+                ib_builder=build, meta=dict(wall=wall))
+
+
+@register("sharp_ib_channel")
+def sharp_ib_channel(ny: int = 128, scheme: str = "linear") -> Case:
+    """Channel with a circular obstacle, sharp ghost-cell extrapolation
+    (examples/SharpIB.cpp)."""
+    from fluidsolver_tpu.ib import sharp
+    from fluidsolver_tpu.ib.geometry import Circle
+
+    g, cfg = _ib_channel_base(ny, "sharp")
+    wall = Circle(1.0, 0.5, 0.15)
+
+    def build(grid):
+        return sharp.build(wall, grid, scheme=scheme)
+
+    return Case("sharp_ib_channel", g, cfg, t_end=5.0, dt_write=5e-2,
+                ib_builder=build, meta=dict(wall=wall))
+
+
+@register("luchini_ib_channel")
+def luchini_ib_channel(ny: int = 128, implicit: bool = False) -> Case:
+    """Channel with a circular obstacle, Luchini second-order IB
+    (examples/IB-Luchini.cpp)."""
+    from fluidsolver_tpu.ib import luchini
+    from fluidsolver_tpu.ib.geometry import Circle
+
+    g, cfg = _ib_channel_base(ny, "luchini_implicit" if implicit else "luchini")
+    wall = Circle(1.0, 0.5, 0.15)
+
+    def build(grid):
+        return luchini.correction_fields(wall, grid)
+
+    return Case("luchini_ib_channel", g, cfg, t_end=5.0, dt_write=5e-2,
+                ib_builder=build, meta=dict(wall=wall))
 
 
 # ===========================================================================

@@ -53,3 +53,7 @@ class SolverConfig:
 
     # curvature method: "volume_matching" | "regression" | "convolved"
     curvature_method: str = "volume_matching"
+
+    # immersed-boundary mode: None | "diffuse" | "sharp" | "luchini" |
+    # "luchini_implicit"; the precomputed IB fields are passed to make_step
+    ib_mode: Optional[str] = None

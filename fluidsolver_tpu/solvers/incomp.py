@@ -58,9 +58,18 @@ def project_velocity(U, V, delta_p, rho_u, rho_v, dt, dx: float, dy: float):
     return U, V
 
 
-def make_step(grid: Grid, cfg: SolverConfig):
-    """Build the jitted single-phase step(state, t_end) -> state."""
+def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
+    """Build the jitted single-phase step(state, t_end) -> state.
+
+    ``ib``: precomputed immersed-boundary fields matching ``cfg.ib_mode``
+    (ib.diffuse.DiffuseIB / ib.sharp.SharpIB / ib.luchini.LuchiniIB).
+    ``div_source``: optional callable (state, dt) -> cell-centered array
+    added to the divergence before the pressure solve — the hook used by the
+    GrowingIB / ExpandingBubble mass sources (examples/GrowingIB.cpp:93-100).
+    """
     rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
+    if cfg.ib_mode is not None and ib is None:
+        raise ValueError(f"ib_mode={cfg.ib_mode!r} requires precomputed ib fields")
 
     def subiter(state: FlowState, dt) -> FlowState:
         U = stencil.mid_time(state.U, state.U_old)
@@ -74,17 +83,43 @@ def make_step(grid: Grid, cfg: SolverConfig):
             gx, gy = cfg.gravity
             dmomU = dmomU.at[1:-1, 1:-1].add(gx * state.rho_u[1:-1, 1:-1])
             dmomV = dmomV.at[1:-1, 1:-1].add(gy * state.rho_v[1:-1, 1:-1])
-        U, V = mom.update_velocity(
-            state.U_old, state.V_old, state.rho_u_old, state.rho_v_old,
-            state.rho_u, state.rho_v, dmomU, dmomV, dt, U, V,
-        )
+        if cfg.ib_mode == "luchini":
+            from fluidsolver_tpu.ib import luchini
+
+            U, V = luchini.update_velocity_semi_analytical(
+                dmomU, dmomV, dt, ib, state.U_old, state.V_old,
+                state.rho_u_old, state.rho_v_old, state.rho_u, state.rho_v,
+                state.visc, U, V,
+            )
+        else:
+            U, V = mom.update_velocity(
+                state.U_old, state.V_old, state.rho_u_old, state.rho_v_old,
+                state.rho_u, state.rho_v, dmomU, dmomV, dt, U, V,
+            )
+            if cfg.ib_mode == "luchini_implicit":
+                from fluidsolver_tpu.ib import luchini
+
+                U, V = luchini.correct_velocity_implicit_euler(
+                    U, V, ib, dt, state.visc, state.rho_u, state.rho_v
+                )
         U, V = bc_mod.apply_velocity_bcs(U, V, grid, cfg.bcs, state.t)
 
         if cfg.outflow_correction:
             _, _, mass_err = mom.inflow_outflow(U, state.rho_u)
             U = mom.correct_outflow(U, state.rho_u, mass_err)
 
+        if cfg.ib_mode == "diffuse":
+            from fluidsolver_tpu.ib import diffuse
+
+            U, V, _, _ = diffuse.apply_direct_forcing(U, V, ib)
+        elif cfg.ib_mode == "sharp":
+            from fluidsolver_tpu.ib import sharp
+
+            U, V = sharp.apply_forcing(U, V, ib)
+
         div = stencil.divergence(U, V, grid.dx, grid.dy)
+        if div_source is not None:
+            div = div + div_source(state, dt)
         delta_p, rel, iters = pressure_solve(state, div, dt, grid, cfg)
         p = state.p + delta_p
         U, V = project_velocity(U, V, delta_p, state.rho_u, state.rho_v, dt, grid.dx, grid.dy)

@@ -1,0 +1,105 @@
+"""Immersed-boundary layer: geometry, the three IB flavors in a channel,
+MLS interpolation, marker mechanics.
+
+Physics check for each IB flavor: flow around a cylinder must (a) keep
+velocity ~0 inside the solid, (b) stay divergence-free, (c) produce
+acceleration around the obstacle (mass conservation through the gap)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidsolver_tpu.cases import get_case
+from fluidsolver_tpu.ib.geometry import Circle, Rect
+from fluidsolver_tpu.ops import stencil
+
+
+def test_circle_geometry():
+    c = Circle(0.0, 0.0, 1.0)
+    assert c.contains(0.5, 0.5)
+    assert not c.contains(1.5, 0.0)
+    ix, iy = c.intersect_line((0.5, 0.0), (1.5, 0.0))
+    assert np.isclose(ix, 1.0) and np.isclose(iy, 0.0)
+    nx, ny = c.normal(2.0, 0.0)
+    assert np.isclose(nx, 1.0) and np.isclose(ny, 0.0)
+
+
+def test_rect_geometry():
+    r = Rect(0.0, 0.0, 2.0, 1.0)
+    assert r.contains(1.0, 0.5)
+    ix, iy = r.intersect_line((1.0, 0.5), (1.0, 1.5))
+    assert np.isclose(ix, 1.0) and np.isclose(iy, 1.0)
+
+
+@pytest.mark.parametrize("case_name", ["diffuse_ib_channel", "sharp_ib_channel", "luchini_ib_channel"])
+def test_ib_channel_flavors(case_name):
+    # sharp: the bounded quadratic weights — the linear variant diverges when
+    # the wall falls close to the fluid neighbor (beta -> 1), which happens at
+    # this coarse resolution (the reference's LINEAR default has the same
+    # failure mode, SharpIB.cpp:172-198)
+    kwargs = {"scheme": "quadratic"} if case_name == "sharp_ib_channel" else {}
+    case = get_case(case_name, ny=32, **kwargs)
+    g = case.grid
+    state = case.make_state()
+    step = case.make_step()
+    for _ in range(12):
+        state = step(state, 1e9)
+
+    U = np.asarray(state.U)
+    V = np.asarray(state.V)
+    assert not np.any(np.isnan(U)), "NaN in U"
+    wall = case.meta["wall"]
+
+    # velocity deep inside the solid ~ 0 (the sharp scheme's boundary ring
+    # carries nonzero extrapolated ghost values by construction, so "deep"
+    # excludes the outer half of the radius)
+    Xu, Yu = np.meshgrid(g.x, g.ym, indexing="ij")
+    deep = (Xu - wall.x) ** 2 + (Yu - wall.y) ** 2 < (0.5 * wall.r) ** 2
+    u_solid = np.abs(U[deep]).max() if deep.any() else 0.0
+    assert u_solid < 0.15, f"{case_name}: |U| in solid = {u_solid:.3e}"
+
+    # projection still enforces incompressibility
+    div = np.asarray(stencil.divergence(state.U, state.V, g.dx, g.dy))[1:-1, 1:-1]
+    assert np.abs(div).max() < 1e-3, np.abs(div).max()
+
+    # flow accelerates over/under the cylinder (mass through the gap)
+    i_c = int((wall.x - 0) / g.dx) + 1
+    u_gap = np.abs(U[i_c, :]).max()
+    assert u_gap > 1.5, f"{case_name}: gap speed {u_gap:.3f}"
+
+
+def test_mls_linear_reproduction():
+    from fluidsolver_tpu.ib.mls import mls_interpolate
+
+    # MLS with linear basis reproduces linear fields exactly
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 1, 5))
+    py = jnp.asarray(rng.uniform(0, 1, 5))
+    vals = 2.0 * px - 3.0 * py + 0.5
+    got = mls_interpolate(px, py, vals, jnp.asarray(0.4), jnp.asarray(0.6), h=1.0)
+    assert np.isclose(float(got), 2.0 * 0.4 - 3.0 * 0.6 + 0.5, atol=1e-10)
+
+
+def test_markers_mechanics():
+    from fluidsolver_tpu.ib import markers as mk
+    from fluidsolver_tpu.core.grid import make_grid
+
+    g = make_grid(0.0, 1.0, 32, 0.0, 1.0, 32)
+    m = mk.init_circle(100, 0.5, 0.5, 0.2)
+    # normals of a circle ring point radially outward
+    nx, ny = mk.marker_normals(m)
+    rx = (m.x - 0.5) / 0.2
+    ry = (m.y - 0.5) / 0.2
+    dots = np.asarray(nx * rx + ny * ry)
+    assert np.all(np.abs(np.abs(dots) - 1.0) < 1e-2)
+
+    # displaced markers feel a restoring force toward X0
+    m2 = dataclasses.replace(m, x=m.x + 0.1)
+    fu, fv = mk.response_force(m2, kappa=1.0, eta=0.0)
+    assert np.allclose(np.asarray(fu), -0.1, atol=1e-12)
+
+    jumps = mk.jump_conditions(m2, kappa=1.0, eta=1.0)
+    assert set(jumps) == {"p_jump", "mu_dudx_jump", "mu_dvdx_jump", "mu_dudy_jump", "mu_dvdy_jump"}
+    assert np.all(np.isfinite(np.asarray(jumps["p_jump"])))
