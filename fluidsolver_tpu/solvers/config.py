@@ -48,6 +48,10 @@ class SolverConfig:
     # body force (RisingBubble gravity, examples/RisingBubble.cpp:453-455)
     gravity: Tuple[float, float] = (0.0, 0.0)
 
+    # maintain a prescribed total mass flow through the x-boundaries
+    # (periodic-channel driving, test/PeriodicChannel.cpp:187-197)
+    flow_forcing: Optional[float] = None
+
     # FS_ARITHMETIC_VISC flag (src/FS.hpp:618)
     arithmetic_visc: bool = False
 
@@ -57,3 +61,8 @@ class SolverConfig:
     # immersed-boundary mode: None | "diffuse" | "sharp" | "luchini" |
     # "luchini_implicit"; the precomputed IB fields are passed to make_step
     ib_mode: Optional[str] = None
+
+    # interfacial mass flux m_dot [mass/(length*time)] for phase-change
+    # cases (examples/ExpandingBubble.cpp:222-241, 310-321): shifts the PLIC
+    # planes into the liquid and adds the volume-expansion divergence source
+    phase_change_mdot: Optional[float] = None

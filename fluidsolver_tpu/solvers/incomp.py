@@ -72,6 +72,10 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         raise ValueError(f"ib_mode={cfg.ib_mode!r} requires precomputed ib fields")
 
     def subiter(state: FlowState, dt) -> FlowState:
+        # ib may be a callable(state) for time-dependent solids
+        # (the growing-solid case, examples/GrowingIB.cpp)
+        ib_f = ib(state) if callable(ib) else ib
+
         U = stencil.mid_time(state.U, state.U_old)
         V = stencil.mid_time(state.V, state.V_old)
 
@@ -87,7 +91,7 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
             from fluidsolver_tpu.ib import luchini
 
             U, V = luchini.update_velocity_semi_analytical(
-                dmomU, dmomV, dt, ib, state.U_old, state.V_old,
+                dmomU, dmomV, dt, ib_f, state.U_old, state.V_old,
                 state.rho_u_old, state.rho_v_old, state.rho_u, state.rho_v,
                 state.visc, U, V,
             )
@@ -100,7 +104,7 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
                 from fluidsolver_tpu.ib import luchini
 
                 U, V = luchini.correct_velocity_implicit_euler(
-                    U, V, ib, dt, state.visc, state.rho_u, state.rho_v
+                    U, V, ib_f, dt, state.visc, state.rho_u, state.rho_v
                 )
         U, V = bc_mod.apply_velocity_bcs(U, V, grid, cfg.bcs, state.t)
 
@@ -108,14 +112,27 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
             _, _, mass_err = mom.inflow_outflow(U, state.rho_u)
             U = mom.correct_outflow(U, state.rho_u, mass_err)
 
+        if cfg.flow_forcing is not None:
+            # drive the periodic channel to a fixed total mass flow
+            # (test/PeriodicChannel.cpp:187-197)
+            ncols = U.shape[1]
+            inflow = jnp.sum(state.rho_u[0, :] * U[0, :] * grid.dy)
+            outflow = jnp.sum(state.rho_u[-1, :] * U[-1, :] * grid.dy)
+            U = U.at[0, :].add(
+                (cfg.flow_forcing - inflow) / (state.rho_u[0, :] * grid.dy * ncols)
+            )
+            U = U.at[-1, :].add(
+                (cfg.flow_forcing - outflow) / (state.rho_u[-1, :] * grid.dy * ncols)
+            )
+
         if cfg.ib_mode == "diffuse":
             from fluidsolver_tpu.ib import diffuse
 
-            U, V, _, _ = diffuse.apply_direct_forcing(U, V, ib)
+            U, V, _, _ = diffuse.apply_direct_forcing(U, V, ib_f)
         elif cfg.ib_mode == "sharp":
             from fluidsolver_tpu.ib import sharp
 
-            U, V = sharp.apply_forcing(U, V, ib)
+            U, V = sharp.apply_forcing(U, V, ib_f)
 
         div = stencil.divergence(U, V, grid.dx, grid.dy)
         if div_source is not None:
