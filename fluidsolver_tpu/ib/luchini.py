@@ -58,6 +58,22 @@ def _correction_field(shape, xs, ys, dx, dy):
 
 
 def correction_fields(shape, grid: Grid) -> LuchiniIB:
+    # fast path: native C++ sweep for circular walls
+    # (fluidsolver_tpu/native/ib_kernels.cpp)
+    from fluidsolver_tpu.ib.geometry import Circle as _Circle
+
+    if isinstance(shape, _Circle):
+        from fluidsolver_tpu import native
+
+        cu = native.luchini_correction_circle(
+            grid.x, grid.ym, grid.dx, grid.dy, shape.x, shape.y, shape.r
+        )
+        cv = native.luchini_correction_circle(
+            grid.xm, grid.y, grid.dx, grid.dy, shape.x, shape.y, shape.r
+        )
+        if cu is not None and cv is not None:
+            return LuchiniIB(corr_u=jnp.asarray(cu), corr_v=jnp.asarray(cv))
+
     corr_u = _correction_field(shape, grid.x, grid.ym, grid.dx, grid.dy)
     corr_v = _correction_field(shape, grid.xm, grid.y, grid.dx, grid.dy)
     return LuchiniIB(corr_u=jnp.asarray(corr_u), corr_v=jnp.asarray(corr_v))

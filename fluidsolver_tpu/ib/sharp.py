@@ -127,7 +127,29 @@ def _build_stencil(shape, xs, ys, dx, dy, scheme) -> SharpStencil:
     )
 
 
+def _native_stencil(shape, xs, ys, dx, dy, scheme):
+    from fluidsolver_tpu import native
+    from fluidsolver_tpu.ib.geometry import Circle as _Circle
+
+    if not isinstance(shape, _Circle):
+        return None
+    res = native.sharp_stencil_circle(xs, ys, dx, dy, shape.x, shape.y, shape.r, scheme)
+    if res is None:
+        return None
+    tgt, nb1, nb2, w1, w2, deep = res
+    return SharpStencil(
+        tgt=jnp.asarray(tgt, jnp.int32), nb1=jnp.asarray(nb1, jnp.int32),
+        nb2=jnp.asarray(nb2, jnp.int32), w1=jnp.asarray(w1), w2=jnp.asarray(w2),
+        deep=jnp.asarray(deep, jnp.int32),
+    )
+
+
 def build(shape, grid: Grid, scheme: str = "linear") -> SharpIB:
+    # fast path: native C++ sweep (fluidsolver_tpu/native/ib_kernels.cpp)
+    u = _native_stencil(shape, grid.x, grid.ym, grid.dx, grid.dy, scheme)
+    v = _native_stencil(shape, grid.xm, grid.y, grid.dx, grid.dy, scheme)
+    if u is not None and v is not None:
+        return SharpIB(u=u, v=v)
     return SharpIB(
         u=_build_stencil(shape, grid.x, grid.ym, grid.dx, grid.dy, scheme),
         v=_build_stencil(shape, grid.xm, grid.y, grid.dx, grid.dy, scheme),
