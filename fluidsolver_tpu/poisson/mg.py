@@ -99,17 +99,82 @@ def build_hierarchy(op: StencilOp) -> list[MGLevel]:
     return levels
 
 
-def restrict(r: jnp.ndarray) -> jnp.ndarray:
-    """R = P^T: sum over 2x2 blocks (zero-padding odd edges)."""
+def restrict_pc(r: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-constant R = P^T: sum over 2x2 blocks (zero-padding odd
+    edges). Used for the Galerkin coarse-operator construction."""
     r = _pad_even(r)
     N, M = r.shape
     return r.reshape(N // 2, 2, M // 2, 2).sum((1, 3))
 
 
-def prolong(e: jnp.ndarray, fine_shape) -> jnp.ndarray:
-    """P: piecewise-constant injection, cropped back to the fine shape."""
+def prolong_pc(e: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    """Piecewise-constant injection, cropped back to the fine shape."""
     up = jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)
     return up[: fine_shape[0], : fine_shape[1]]
+
+
+# ---- bilinear transfers (cycle transfers; better smoothing-complement) ----
+# Cell-centered 2:1 bilinear interpolation: fine cell (2I+a, 2J+b) takes
+# 9/16 of coarse (I,J), 3/16 of each adjacent coarse cell toward its
+# quadrant, 1/16 of the diagonal; edges clamp (Neumann-consistent). The
+# restriction is 4x the exact transpose, so the V-cycle preconditioner
+# remains symmetric while the correction keeps PC-Galerkin scaling.
+_WC, _WE, _WD = 9.0 / 16.0, 3.0 / 16.0, 1.0 / 16.0
+
+
+def prolong_bilinear(e: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    ep = jnp.pad(e, 1, mode="edge")
+    c = ep[1:-1, 1:-1]
+    xm, xp = ep[:-2, 1:-1], ep[2:, 1:-1]
+    ym, yp = ep[1:-1, :-2], ep[1:-1, 2:]
+    dmm, dpm = ep[:-2, :-2], ep[2:, :-2]
+    dmp, dpp = ep[:-2, 2:], ep[2:, 2:]
+    q00 = _WC * c + _WE * (xm + ym) + _WD * dmm
+    q10 = _WC * c + _WE * (xp + ym) + _WD * dpm
+    q01 = _WC * c + _WE * (xm + yp) + _WD * dmp
+    q11 = _WC * c + _WE * (xp + yp) + _WD * dpp
+    I, J = e.shape
+    row0 = jnp.stack([q00, q01], axis=-1).reshape(I, 2 * J)
+    row1 = jnp.stack([q10, q11], axis=-1).reshape(I, 2 * J)
+    fine = jnp.stack([row0, row1], axis=1).reshape(2 * I, 2 * J)
+    return fine[: fine_shape[0], : fine_shape[1]]
+
+
+def _fold_mx(a):
+    out = jnp.zeros_like(a).at[:-1, :].add(a[1:, :])
+    return out.at[0, :].add(a[0, :])
+
+
+def _fold_px(a):
+    out = jnp.zeros_like(a).at[1:, :].add(a[:-1, :])
+    return out.at[-1, :].add(a[-1, :])
+
+
+def _fold_my(a):
+    out = jnp.zeros_like(a).at[:, :-1].add(a[:, 1:])
+    return out.at[:, 0].add(a[:, 0])
+
+
+def _fold_py(a):
+    out = jnp.zeros_like(a).at[:, 1:].add(a[:, :-1])
+    return out.at[:, -1].add(a[:, -1])
+
+
+def restrict_bilinear(r: jnp.ndarray) -> jnp.ndarray:
+    """4 * P_bilinear^T (zero-extend odd fine edges, then de-interleave)."""
+    r = _pad_even(r)
+    R00 = r[0::2, 0::2]
+    R10 = r[1::2, 0::2]
+    R01 = r[0::2, 1::2]
+    R11 = r[1::2, 1::2]
+    out = _WC * (R00 + R10 + R01 + R11)
+    out = out + _WE * (_fold_mx(R00 + R01) + _fold_px(R10 + R11))
+    out = out + _WE * (_fold_my(R00 + R10) + _fold_py(R01 + R11))
+    out = out + _WD * (
+        _fold_mx(_fold_my(R00)) + _fold_px(_fold_my(R10))
+        + _fold_mx(_fold_py(R01)) + _fold_px(_fold_py(R11))
+    )
+    return 4.0 * out
 
 
 def _rb_sweep(level: MGLevel, x: jnp.ndarray, b: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
@@ -130,9 +195,22 @@ def _rb_sweep(level: MGLevel, x: jnp.ndarray, b: jnp.ndarray, reverse: bool = Fa
     return x
 
 
-def v_cycle(levels: list[MGLevel], b: jnp.ndarray, n_pre: int = 1, n_post: int = 1) -> jnp.ndarray:
+def v_cycle(
+    levels: list[MGLevel], b: jnp.ndarray, n_pre: int = 1, n_post: int = 1,
+    transfers: str = "pc",
+) -> jnp.ndarray:
     """One V(n_pre, n_post) cycle applied to zero initial guess: returns
-    an approximation of A^{-1} b (the PCG preconditioner application)."""
+    an approximation of A^{-1} b (the PCG preconditioner application).
+
+    ``transfers``: "pc" (default) or "bilinear". Measured on the 1000:1
+    drop problem, PC transfers need FEWER PCG iterations than bilinear
+    (32 vs 36 at 128^2) — smooth interpolation is wrong across strong
+    coefficient jumps, where the error's normal gradient is discontinuous;
+    operator-dependent transfers (Alcouffe/Dendy) are the known upgrade."""
+    if transfers == "bilinear":
+        restrict, prolong = restrict_bilinear, prolong_bilinear
+    else:
+        restrict, prolong = restrict_pc, prolong_pc
 
     def cycle(lvl: int, b_l: jnp.ndarray) -> jnp.ndarray:
         level = levels[lvl]
