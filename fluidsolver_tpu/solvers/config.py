@@ -33,6 +33,10 @@ class SolverConfig:
     pressure_tol: float = 1e-6
     pressure_max_iter: int = 50
     pressure_pin: Optional[str] = None  # None | "left"|"right"|"bottom"|"top"
+    # "mg" (PCG + geometric-multigrid V-cycle, the HYPRE PCG+PFMG analog),
+    # "jacobi" (diag-precond CG, the Accelerate-backend analog,
+    # src/LinearSolver_Accelerate.hpp), "none", or "direct" (dense, small grids)
+    pressure_solver: str = "mg"
     # TODO(perf): bilinear transfers in the V-cycle (PC transfers cap the
     # convergence factor ~0.5; bilinear reaches ~0.1)
     mg_pre: int = 2

@@ -34,16 +34,24 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig):
         state.rho_u, state.rho_v, grid.dx, grid.dy, cfg.pressure_pin
     )
     rhs = linsys.build_pressure_rhs(div, grid.dx, grid.dy, dt, cfg.pressure_pin)
-    delta_p, rel, iters = cg.solve_pcg(
-        op,
-        rhs,
-        tol=cfg.pressure_tol,
-        max_iter=cfg.pressure_max_iter,
-        singular=cfg.pressure_pin is None,
-        precond="mg",
-        n_pre=cfg.mg_pre,
-        n_post=cfg.mg_post,
-    )
+    singular = cfg.pressure_pin is None
+    if cfg.pressure_solver == "direct":
+        from fluidsolver_tpu.poisson.direct import solve_direct
+
+        delta_p = solve_direct(op, rhs, singular)
+        rel = jnp.zeros((), rhs.dtype)
+        iters = jnp.ones((), jnp.int32)
+    else:
+        delta_p, rel, iters = cg.solve_pcg(
+            op,
+            rhs,
+            tol=cfg.pressure_tol,
+            max_iter=cfg.pressure_max_iter,
+            singular=singular,
+            precond=cfg.pressure_solver,
+            n_pre=cfg.mg_pre,
+            n_post=cfg.mg_post,
+        )
     delta_p = stencil.shift_pressure_to_zero(delta_p, grid.dx, grid.dy)
     return delta_p, rel, iters
 

@@ -205,7 +205,16 @@ def make_step(grid: Grid, cfg: SolverConfig):
         # curvature + interface length from the vf_old reconstruction
         # (recomputed every subiteration in the reference via the unchanged
         # reconstruction — values are identical, so compute once here)
-        curv = curvature_quad_volume_matching(vf_old, rec, grid)
+        if cfg.curvature_method == "regression":
+            from fluidsolver_tpu.vof.curvature import curvature_quad_regression
+
+            curv = curvature_quad_regression(vf_old, rec, grid)
+        elif cfg.curvature_method == "convolved":
+            from fluidsolver_tpu.vof.curvature import curvature_convolved_vf
+
+            curv = curvature_convolved_vf(vf_old, rec, grid)
+        else:
+            curv = curvature_quad_volume_matching(vf_old, rec, grid)
         iface_len = plic.interface_length(rec, grid.dx, grid.dy)
 
         # fori_loop (not Python unroll): the subiteration body — including the

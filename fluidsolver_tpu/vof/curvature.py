@@ -16,6 +16,7 @@ exactly like the reference (src/Curvature.hpp:263).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from fluidsolver_tpu.core.grid import Grid
 from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift, segment_endpoints
@@ -137,3 +138,102 @@ def curvature_quad_volume_matching(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -
 
     out = jnp.zeros_like(vf_old)
     return out.at[1:-1, 1:-1].set(curv)
+
+
+def curvature_quad_regression(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -> jnp.ndarray:
+    """Least-squares quadratic through the rotated segment midpoints
+    (src/Curvature.hpp:272-316)."""
+    dx, dy = grid.dx, grid.dy
+    dtype = vf_old.dtype
+
+    p0, p1 = segment_endpoints(rec, dx, dy)
+    seg_x0, seg_y0 = p0[..., 0], p0[..., 1]
+    seg_x1, seg_y1 = p1[..., 0], p1[..., 1]
+
+    t_nx = _shift(rec.nx, 0, 0)
+    t_ny = _shift(rec.ny, 0, 0)
+    t_valid = _shift(rec.valid, 0, 0)
+    angle = jnp.arccos(jnp.clip(-t_ny, -1.0, 1.0))
+    angle = jnp.where(t_nx > 0.0, 2.0 * jnp.pi - angle, angle)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    cx = 0.5 * (_shift(seg_x0, 0, 0) + _shift(seg_x1, 0, 0))
+    cy = 0.5 * (_shift(seg_y0, 0, 0) + _shift(seg_y1, 0, 0))
+
+    A = jnp.zeros((*cx.shape, 3, 3), dtype)
+    bvec = jnp.zeros((*cx.shape, 3), dtype)
+    x_eval = None
+    for di, dj in _NEIGHBOR_OFFSETS:
+        mx = 0.5 * (_shift(seg_x0, di, dj) + _shift(seg_x1, di, dj)) + di * dx - cx
+        my = 0.5 * (_shift(seg_y0, di, dj) + _shift(seg_y1, di, dj)) + dj * dy - cy
+        rx = ca * mx - sa * my
+        ry = sa * mx + ca * my
+        m = t_valid if (di == 0 and dj == 0) else _shift(rec.valid, di, dj)
+        rx = jnp.where(m, rx, 0.0)
+        ry = jnp.where(m, ry, 0.0)
+        if di == 0 and dj == 0:
+            x_eval = rx
+        w = m.astype(dtype)
+        P = jnp.stack([jnp.ones_like(rx), rx, rx * rx], axis=-1)
+        A = A + w[..., None, None] * P[..., :, None] * P[..., None, :]
+        bvec = bvec + w[..., None] * P * ry[..., None]
+
+    c0, c1, c2 = _solve3_cramer(A, bvec)
+    first = c1 + 2.0 * c2 * x_eval
+    curv = 2.0 * c2 / jnp.power(1.0 + first * first, 1.5)
+    curv = jnp.where(jnp.isfinite(curv), curv, 0.0)
+    curv = jnp.where(t_valid, curv, 0.0)
+    return jnp.zeros_like(vf_old).at[1:-1, 1:-1].set(curv)
+
+
+def curvature_convolved_vf(
+    vf_old: jnp.ndarray, rec: Plic, grid: Grid, interpolate: bool = True
+) -> jnp.ndarray:
+    """Convolved-vf curvature (Cummins/Francois/Kothe 2005;
+    src/Curvature.hpp:319-369): smooth vf with a compact polynomial kernel
+    (4-cell support, src/Curvature.hpp:20-53), then
+    kappa = -div(grad/|grad|), optionally sampled at the interface midpoint."""
+    from jax import lax
+
+    from fluidsolver_tpu.ops.stencil import grad_centered, sample_centered
+
+    dx, dy = grid.dx, grid.dy
+    dtype = vf_old.dtype
+    n_smooth = 4
+    length = n_smooth * max(dx, dy)
+
+    # convolution kernel w(r) = (1 - (r/L)^2)^4 on a (2n+1)^2 stencil
+    offs = np.arange(-n_smooth, n_smooth + 1)
+    KX, KY = np.meshgrid(offs * dx, offs * dy, indexing="ij")
+    q = (KX**2 + KY**2) / length**2
+    ker = np.where(q < 1.0, (1.0 - q) ** 4, 0.0)
+    kerj = jnp.asarray(ker, dtype)
+
+    # interior-only accumulation with out-of-range neighbors skipped
+    # (is_valid_index gating, src/Curvature.hpp:43-49): zero-pad interior
+    interior = vf_old[1:-1, 1:-1]
+    smooth = lax.conv_general_dilated(
+        interior[None, None], kerj[None, None],
+        window_strides=(1, 1), padding="SAME",
+    )[0, 0]
+    vf_smooth = jnp.zeros_like(vf_old).at[1:-1, 1:-1].set(smooth)
+
+    dvfdx, dvfdy = grad_centered(vf_smooth, dx, dy)
+    dxx, dxy = grad_centered(dvfdx, dx, dy)
+    _, dyy = grad_centered(dvfdy, dx, dy)
+
+    numer = dxx * dvfdy**2 + dyy * dvfdx**2 - 2.0 * dvfdx * dvfdy * dxy
+    denom = jnp.power(dvfdx**2 + dvfdy**2, 1.5)
+    curv_c = jnp.where(jnp.abs(denom) > 1e-8, -numer / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+
+    valid = rec.valid
+    if not interpolate:
+        return jnp.where(valid, curv_c, 0.0)
+
+    # sample at the interface midpoint (global coords)
+    p0, p1 = segment_endpoints(rec, dx, dy)
+    X0 = jnp.asarray(grid.x[:-1], dtype)[:, None]
+    Y0 = jnp.asarray(grid.y[:-1], dtype)[None, :]
+    mx = 0.5 * (p0[..., 0] + p1[..., 0]) + X0
+    my = 0.5 * (p0[..., 1] + p1[..., 1]) + Y0
+    sampled = sample_centered(curv_c, grid.xm[1], dx, grid.ym[1], dy, mx, my)
+    return jnp.where(valid, sampled, 0.0)
