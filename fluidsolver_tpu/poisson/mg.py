@@ -177,10 +177,24 @@ def restrict_bilinear(r: jnp.ndarray) -> jnp.ndarray:
     return 4.0 * out
 
 
+import os
+
+# Opt-in: the fused Pallas sweep is numerically identical (validated on TPU)
+# but not faster than XLA's fusion of the in-solver sweeps on current
+# measurements, so it stays off by default (SURVEY.md §7: Pallas only where
+# XLA demonstrably loses).
+_USE_PALLAS = os.environ.get("FS_PALLAS_SMOOTHER", "0") == "1"
+
+
 def _rb_sweep(level: MGLevel, x: jnp.ndarray, b: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
     """One red-black Gauss-Seidel sweep. ``reverse`` flips the color order
     (black then red) — used in post-smoothing so the V-cycle is a symmetric
     operator and PCG theory holds."""
+    if _USE_PALLAS:
+        from fluidsolver_tpu.poisson import pallas_smoother as ps
+
+        if ps.sweep_available(x.shape, x.dtype):
+            return ps.rb_sweep_pallas(level.op, x, b, reverse=reverse)
     op = level.op
     aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
 
