@@ -26,6 +26,8 @@ class Simulation:
         writer: str = "xdmf",
         dtype=None,
         save_output: bool = True,
+        check_nan: bool = False,
+        warn_nonconverged: bool = True,
     ):
         self.case = case
         self.grid = case.grid
@@ -33,6 +35,13 @@ class Simulation:
         self.state = case.make_state(dtype=dtype)
         self.step = case.make_step()
         self.save_output = save_output
+        # numeric tripwires: the reference NaN-poisons scratch fields and
+        # asserts on the Poisson RHS (SURVEY.md §5); here the per-step check
+        # is host-side and optional (it forces a device sync)
+        self.check_nan = check_nan
+        # HYPRE-non-convergence warning analog
+        # (src/LinearSolver_StructHypre.hpp:174-189)
+        self.warn_nonconverged = warn_nonconverged
 
         if output_dir is None:
             output_dir = os.path.join("output", case.name)
@@ -106,6 +115,19 @@ class Simulation:
             n += 1
             t = float(self._flow().t)
             dt = float(self._flow().dt)
+            if self.warn_nonconverged:
+                p_res = float(self._flow().p_res)
+                if p_res > self.cfg.pressure_tol:
+                    print(f"[{self.case.name}] WARNING: pressure solve did not "
+                          f"converge at t={t:.6e}: residual = {p_res:.3e}")
+            if self.check_nan:
+                import jax.numpy as jnp
+
+                for fname in ("U", "V", "p"):
+                    if bool(jnp.any(jnp.isnan(getattr(self._flow(), fname)))):
+                        raise FloatingPointError(
+                            f"NaN in {fname} at step {n}, t={t:.6e}"
+                        )
             if self.save_output:
                 self.monitor.write()
                 if cadence(t, dt):
@@ -131,6 +153,10 @@ def main(argv=None):
     ap.add_argument("--writer", default="xdmf", choices=["xdmf", "vtk"])
     ap.add_argument("--x64", action="store_true", help="enable float64")
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--check-nan", action="store_true",
+                    help="per-step NaN tripwire (forces a device sync)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the run into DIR")
     ap.add_argument("--param", action="append", default=[], metavar="K=V",
                     help="case parameter override, e.g. --param ny=64")
     args = ap.parse_args(argv)
@@ -148,8 +174,15 @@ def main(argv=None):
         except ValueError:
             params[k] = float(v)
     case = get_case(args.case, **params)
-    sim = Simulation(case, output_dir=args.output, writer=args.writer)
-    sim.run(t_end=args.t_end, log_every=args.log_every)
+    sim = Simulation(case, output_dir=args.output, writer=args.writer,
+                     check_nan=args.check_nan)
+    if args.profile:
+        from fluidsolver_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            sim.run(t_end=args.t_end, log_every=args.log_every)
+    else:
+        sim.run(t_end=args.t_end, log_every=args.log_every)
     print(f"[{case.name}] finished: {sim.n_steps} steps in {sim.wall_time:.2f}s "
           f"-> {sim.output_dir}")
 
