@@ -17,7 +17,7 @@ N = int(os.environ.get("FS_BENCH_N", "1024"))
 STEPS = int(os.environ.get("FS_BENCH_STEPS", "10"))
 # develop the flow first so the pressure solve does representative work
 # (a quiescent field lets PCG converge in a couple of iterations)
-WARMUP = int(os.environ.get("FS_BENCH_WARMUP", "50"))
+WARMUP = int(os.environ.get("FS_BENCH_WARMUP", "20"))
 TARGET_MS = 10.0
 
 
@@ -53,7 +53,7 @@ def _run(warmup: int, n: int):
     # compile + develop the flow (chunked syncs keep the tunneled TPU stable)
     for k in range(warmup):
         state = step(state, 1e9)
-        if k % 10 == 9:
+        if k % 5 == 4:
             jax.block_until_ready(state.vf)
     jax.block_until_ready(jax.tree_util.tree_leaves(state))
 
@@ -77,26 +77,42 @@ def _run(warmup: int, n: int):
 
 def main():
     # The tunneled TPU occasionally drops long dispatch sequences
-    # (UNAVAILABLE worker crashes) or slows to a crawl; retry with shorter
-    # warmups then smaller grids, within a wall-clock budget, rather than
-    # failing the benchmark run.
-    budget = float(os.environ.get("FS_BENCH_BUDGET_S", "900"))
+    # (UNAVAILABLE worker crashes) or hangs; each attempt runs in its own
+    # subprocess with a timeout so a wedged/crashed runtime cannot poison
+    # the retry at a smaller size. Exactly one JSON line is printed.
+    import subprocess
+
+    budget = float(os.environ.get("FS_BENCH_BUDGET_S", "1800"))
     start = time.time()
-    attempts = [(WARMUP, N), (2, N), (2, N // 2), (2, N // 4)]
-    last_err = None
-    for warmup, n in attempts:
-        if time.time() - start > budget:
-            sys.stderr.write("bench budget exhausted before a further attempt\n")
-            break
+    attempts = [(WARMUP, N), (2, N), (2, N // 2), (2, N // 4), (2, N // 8)]
+    for k, (warmup, n) in enumerate(attempts):
+        remaining = budget - (time.time() - start)
+        # leave headroom for at least one fallback attempt
+        per_attempt = max(remaining / max(1, (2 - k)), 120.0) if k < 2 else max(remaining, 120.0)
         try:
-            _run(warmup, n)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", str(warmup), str(n)],
+                capture_output=True, text=True, timeout=per_attempt,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt (warmup={warmup}, n={n}) timed out\n")
+            continue
+        if out.returncode == 0 and out.stdout.strip().startswith("{"):
+            print(out.stdout.strip().splitlines()[-1])
             return
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            sys.stderr.write(f"bench attempt (warmup={warmup}, n={n}) failed: {e}\n")
-    sys.stderr.write(f"all bench attempts failed: {last_err}\n")
+        sys.stderr.write(
+            f"bench attempt (warmup={warmup}, n={n}) failed:\n{out.stderr[-500:]}\n"
+        )
+    sys.stderr.write("all bench attempts failed\n")
     raise SystemExit(1)
 
 
+def _entry():
+    if len(sys.argv) == 4 and sys.argv[1] == "--single":
+        _run(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _entry()

@@ -1,7 +1,8 @@
 """Pressure-Poisson solver benchmark (bench/LinearSolver.cpp analog).
 
-Times MG-PCG to tol=1e-6 on two-phase drop coefficients across grid sizes;
-prints CSV `n,setup+solve_ms,iters`.
+The reference compares HYPRE PCG+PFMG against Apple Accelerate diagonal-CG;
+here the same comparison is MG-PCG vs Jacobi-PCG to tol=1e-6 on two-phase
+drop coefficients across grid sizes. Prints CSV `n,precond,solve_ms,iters`.
 
 Usage: python bench_suite/poisson.py [--f64]
 """
@@ -25,7 +26,7 @@ def main():
     from fluidsolver_tpu.core.grid import make_grid
     from fluidsolver_tpu.poisson import cg, linsys
 
-    print("n,solve_ms,iters,rel_res")
+    print("n,precond,solve_ms,iters,rel_res")
     for n in [64, 128, 256, 512, 1024]:
         g = make_grid(0.0, 1.0, n, 0.0, 1.0, n)
         Xu, Yu = np.meshgrid(g.x, g.ym, indexing="ij")
@@ -37,15 +38,16 @@ def main():
         b -= b.mean()
         b = jnp.asarray(b)
 
-        @jax.jit
-        def solve(rho_u, rho_v, b):
-            op = linsys.assemble_pressure_operator(rho_u, rho_v, g.dx, g.dy, None)
-            x, rel, iters = cg.solve_pcg(op, b, 1e-6, 100, singular=True)
-            return x, rel, iters
-
-        mean, _ = time_fn(solve, rho_u, rho_v, b, reps=10)
-        x, rel, iters = solve(rho_u, rho_v, b)
-        print(f"{n},{mean * 1e3:.3f},{int(iters)},{float(rel):.2e}")
+        for precond, max_iter in [("mg", 100), ("jacobi", 3000)]:
+            solve = jax.jit(
+                lambda ru, rv, b, p=precond, mi=max_iter: cg.solve_pcg(
+                    linsys.assemble_pressure_operator(ru, rv, g.dx, g.dy, None),
+                    b, 1e-6, mi, singular=True, precond=p,
+                )
+            )
+            mean, _ = time_fn(solve, rho_u, rho_v, b, reps=5)
+            x, rel, iters = solve(rho_u, rho_v, b)
+            print(f"{n},{precond},{mean * 1e3:.3f},{int(iters)},{float(rel):.2e}")
 
 
 if __name__ == "__main__":
