@@ -163,8 +163,15 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         dt = jnp.minimum(dt, t_end - state.t)
         state = save_old(state)
         state = dataclasses.replace(state, p_iter=jnp.zeros((), jnp.int32))
-        # fori_loop so the subiteration (incl. the pressure solve) compiles once
-        state = jax.lax.fori_loop(0, cfg.num_subiter, lambda _, s: subiter(s, dt), state)
+        # fori_loop so the subiteration (incl. the pressure solve) compiles
+        # once; dt == 0 (t_end reached, e.g. trailing scan steps) skips the
+        # physics entirely — the Poisson RHS divides by dt
+        state = jax.lax.cond(
+            dt > 0.0,
+            lambda s: jax.lax.fori_loop(0, cfg.num_subiter, lambda _, x: subiter(x, dt), s),
+            lambda s: s,
+            state,
+        )
         return dataclasses.replace(state, t=state.t + dt, dt=dt)
 
     return step
@@ -181,3 +188,17 @@ def run(state: FlowState, t_end: float, grid: Grid, cfg: SolverConfig,
         if callback is not None:
             callback(state)
     return state
+
+
+def make_scan_runner(grid: Grid, cfg: SolverConfig, n_steps: int, ib=None, div_source=None):
+    """Fixed-step production runner: ``n_steps`` steps in one lax.scan
+    (single dispatch; steps past ``t_end`` clamp to dt=0 no-ops)."""
+    inner = make_step(grid, cfg, ib=ib, div_source=div_source).__wrapped__
+
+    @jax.jit
+    def run_n(state: FlowState, t_end) -> FlowState:
+        return jax.lax.scan(
+            lambda c, _: (inner(c, t_end), None), state, None, length=n_steps
+        )[0]
+
+    return run_n

@@ -219,10 +219,16 @@ def make_step(grid: Grid, cfg: SolverConfig):
 
         # fori_loop (not Python unroll): the subiteration body — including the
         # MG-PCG pressure solve — is traced and compiled ONCE, which keeps
-        # XLA compile times sane for deep graphs
-        fs = jax.lax.fori_loop(
-            0, cfg.num_subiter,
-            lambda _, f: subiter(f, (vf_old, rec, curv, iface_len, m_dot_A), dt, f.t),
+        # XLA compile times sane for deep graphs. dt == 0 (t_end reached,
+        # e.g. trailing scan steps) skips the physics (Poisson RHS has 1/dt).
+        fs = jax.lax.cond(
+            dt > 0.0,
+            lambda f: jax.lax.fori_loop(
+                0, cfg.num_subiter,
+                lambda _, x: subiter(x, (vf_old, rec, curv, iface_len, m_dot_A), dt, x.t),
+                f,
+            ),
+            lambda f: f,
             fs,
         )
 
@@ -245,3 +251,18 @@ def run(state: TwoPhaseState, t_end: float, grid: Grid, cfg: SolverConfig,
         if callback is not None:
             callback(state)
     return state
+
+
+def make_scan_runner(grid: Grid, cfg: SolverConfig, n_steps: int):
+    """Fixed-step production runner: ``n_steps`` full steps inside one
+    ``lax.scan`` — a single device dispatch with no host round trips (steps
+    past ``t_end`` become dt=0 no-ops via the clamp)."""
+    inner = make_step(grid, cfg).__wrapped__
+
+    @jax.jit
+    def run_n(state: TwoPhaseState, t_end) -> TwoPhaseState:
+        return jax.lax.scan(
+            lambda c, _: (inner(c, t_end), None), state, None, length=n_steps
+        )[0]
+
+    return run_n
