@@ -84,6 +84,31 @@ def main():
 
     budget = float(os.environ.get("FS_BENCH_BUDGET_S", "1800"))
     start = time.time()
+
+    # Health gate: the tunneled TPU sporadically degrades ~1000x for long
+    # stretches; measuring then would record noise, so probe dispatch
+    # latency and wait (within budget) for recovery.
+    def healthy() -> bool:
+        probe = (
+            "import time,jax,jax.numpy as jnp;"
+            "x=jnp.ones((256,256));float(x.sum());"
+            "t0=time.time();"
+            "ys=[float((x*2).sum()) for _ in range(5)];"
+            "print((time.time()-t0)/5)"
+        )
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, text=True, timeout=240)
+            lat = float(out.stdout.strip().splitlines()[-1])
+            sys.stderr.write(f"health probe: {lat * 1e3:.1f} ms/dispatch\n")
+            return lat < 0.08
+        except Exception:
+            return False
+
+    while not healthy() and time.time() - start < budget * 0.4:
+        sys.stderr.write("TPU degraded; waiting 120s for recovery...\n")
+        time.sleep(120)
+
     attempts = [(WARMUP, N), (2, N), (2, N // 2), (2, N // 4), (2, N // 8)]
     for k, (warmup, n) in enumerate(attempts):
         remaining = budget - (time.time() - start)
