@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-import numpy as np
 
 from fluidsolver_tpu.cases.registry import Case, register
 from fluidsolver_tpu.core import bc

@@ -9,7 +9,6 @@ two-phase solver).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from fluidsolver_tpu.cases.registry import Case, register
 from fluidsolver_tpu.core import bc

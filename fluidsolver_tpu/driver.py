@@ -10,7 +10,6 @@ import time
 from typing import Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from fluidsolver_tpu.cases import Case
 from fluidsolver_tpu.io.monitor import Monitor

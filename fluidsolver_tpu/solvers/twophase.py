@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from fluidsolver_tpu.constants import VF_HIGH as VF_HIGH_CONST
 from fluidsolver_tpu.core import bc as bc_mod
-from fluidsolver_tpu.core import fields
 from fluidsolver_tpu.core.fields import register_pytree_dataclass
 from fluidsolver_tpu.core.grid import Grid
 from fluidsolver_tpu.ops import momentum as mom
