@@ -177,6 +177,29 @@ def restrict_bilinear(r: jnp.ndarray) -> jnp.ndarray:
     return 4.0 * out
 
 
+# ---- operator-induced transfers (smoothed-aggregation form) ---------------
+# P = (I - D^{-1} A) P_pc : each fine cell interpolates from the coarse
+# blocks its stencil neighbors belong to, weighted by the face conductances
+# g = -a_face / aC. Across a strong density jump the conductance 1/rho is
+# small, so the interpolation takes (almost) nothing from the far side —
+# exactly the jump-awareness plain bilinear lacks (see v_cycle docstring).
+# R = P^T keeps the V-cycle symmetric for PCG. Equivalent to one omega=1
+# Jacobi smoothing step on the aggregation transfer (smoothed aggregation,
+# Vanek/Mandel/Brezina 1996), which for the M-matrix 5-point operator gives
+# nonnegative weights summing to <= 1.
+
+
+def prolong_oi(op: StencilOp, e: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    ef = prolong_pc(e, fine_shape)
+    aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
+    return ef - apply_op(op, ef) / aC_safe
+
+
+def restrict_oi(op: StencilOp, r: jnp.ndarray) -> jnp.ndarray:
+    aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
+    return restrict_pc(r - apply_op(op, r / aC_safe))
+
+
 import os
 
 # Opt-in: the fused Pallas sweep is numerically identical (validated on TPU)
@@ -216,15 +239,42 @@ def v_cycle(
     """One V(n_pre, n_post) cycle applied to zero initial guess: returns
     an approximation of A^{-1} b (the PCG preconditioner application).
 
-    ``transfers``: "pc" (default) or "bilinear". Measured on the 1000:1
-    drop problem, PC transfers need FEWER PCG iterations than bilinear
-    (32 vs 36 at 128^2) — smooth interpolation is wrong across strong
-    coefficient jumps, where the error's normal gradient is discontinuous;
-    operator-dependent transfers (Alcouffe/Dendy) are the known upgrade."""
+    ``transfers``: "pc" (default), "bilinear", or "oi" (operator-induced).
+    Measured PCG iteration counts on the 1000:1 drop problem (tol 1e-10):
+
+        n     pc   bilinear   oi   oi-V(2,2)   [exact-Galerkin SA, scipy]
+        128   49      53      53      36              18
+        256   67      70      70      54              16
+
+    Neither smooth (bilinear) nor operator-induced transfers help while the
+    coarse operators stay PC-Galerkin: bilinear interpolates wrongly across
+    jumps, and OI transfers lose their gain to the transfer/coarse-operator
+    mismatch. The scipy ground-truth study (mg_scipy experiment) shows the
+    full win (49->18, h-independent) requires exact Galerkin RAP with the
+    smoothed transfers, whose coarse stencils grow to 25-77 nnz/row — not
+    representable in this matrix-free five-array form; stencil truncation
+    back to 9-point destroys convergence. PC-Galerkin V(1,1) is therefore
+    the best iters-times-bandwidth design point measured so far; the lower-
+    precision V-cycle (cg.solve_pcg precond_dtype) attacks the other factor
+    (bytes/cycle) instead."""
     if transfers == "bilinear":
-        restrict, prolong = restrict_bilinear, prolong_bilinear
+        def restrict(level, r):
+            return restrict_bilinear(r)
+
+        def prolong(level, e, shape):
+            return prolong_bilinear(e, shape)
+    elif transfers == "oi":
+        def restrict(level, r):
+            return restrict_oi(level.op, r)
+
+        def prolong(level, e, shape):
+            return prolong_oi(level.op, e, shape)
     else:
-        restrict, prolong = restrict_pc, prolong_pc
+        def restrict(level, r):
+            return restrict_pc(r)
+
+        def prolong(level, e, shape):
+            return prolong_pc(e, shape)
 
     def cycle(lvl: int, b_l: jnp.ndarray) -> jnp.ndarray:
         level = levels[lvl]
@@ -238,8 +288,8 @@ def v_cycle(
         for _ in range(n_pre):
             x = _rb_sweep(level, x, b_l)
         r = b_l - apply_op(level.op, x)
-        ec = cycle(lvl + 1, restrict(r))
-        x = x + prolong(ec, b_l.shape)
+        ec = cycle(lvl + 1, restrict(level, r))
+        x = x + prolong(level, ec, b_l.shape)
         for _ in range(n_post):
             x = _rb_sweep(level, x, b_l, reverse=True)
         return x

@@ -122,6 +122,56 @@ def test_mg_preconditioner_effective_drop():
     assert mg_iters <= 40, mg_iters
 
 
+def test_pcg_mg_bf16_preconditioner():
+    # lower-precision V-cycle (production TPU path): must still converge,
+    # with a modest iteration penalty at most
+    g, op = _drop_system(64, 64)
+    x_true = RNG.normal(size=g.shape_center)
+    x_true -= x_true.mean()
+    b = linsys.apply_op(op, jnp.asarray(x_true))
+    x32, _, it32 = cg.solve_pcg(op, b, tol=1e-8, max_iter=200, singular=True)
+    x16, rel, it16 = cg.solve_pcg(
+        op, b, tol=1e-8, max_iter=200, singular=True, precond_dtype=jnp.bfloat16
+    )
+    assert rel < 1e-8
+    np.testing.assert_allclose(np.asarray(x16), x_true, atol=1e-4)
+    assert int(it16) <= int(it32) * 2, (int(it16), int(it32))
+
+
+def test_vcycle_transfer_variants_converge():
+    # bilinear and operator-induced transfers are documented experiment
+    # branches (mg.v_cycle docstring) — keep them solving correctly
+    g, op = _drop_system(32, 32)
+    x_true = RNG.normal(size=g.shape_center)
+    x_true -= x_true.mean()
+    b = linsys.apply_op(op, jnp.asarray(x_true))
+    levels = mg.build_hierarchy(op)
+    for transfers in ("pc", "bilinear", "oi"):
+        # hand-rolled PCG (the non-pc variants are scaled such that they are
+        # valid SPD preconditioners but NOT convergent Richardson iterations)
+        def M(r):
+            z = mg.v_cycle(levels, r, transfers=transfers)
+            return z - jnp.mean(z)
+
+        x = jnp.zeros_like(b)
+        r = b
+        z = M(r)
+        p = z
+        rz = jnp.sum(r * z)
+        for _ in range(60):
+            Ap = linsys.apply_op(op, p)
+            alpha = rz / jnp.sum(p * Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / rz) * p
+            rz = rz_new
+        x = x - jnp.mean(x)
+        err = float(jnp.max(jnp.abs(x - jnp.asarray(x_true))))
+        assert err < 1e-6, (transfers, err)
+
+
 def test_rhs_mean_subtraction_and_pinning():
     g = make_grid(0.0, 1.0, 8, 0.0, 1.0, 8)
     div = jnp.asarray(RNG.normal(size=g.shape_center))
