@@ -57,12 +57,31 @@ def _run(warmup: int, n: int):
             jax.block_until_ready(state.vf)
     jax.block_until_ready(jax.tree_util.tree_leaves(state))
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state = step(state, 1e9)
-    # force a device->host read so the timing cannot be an enqueue artifact
+    # Latency-immune timing: the tunneled TPU's host<->device round trip
+    # degrades sporadically from ~1 ms to >100 ms, which would swamp a
+    # single timed batch. Time a K-step batch and a 2K-step batch (one sync
+    # each) and difference them — the fixed sync/dispatch latency cancels,
+    # leaving the marginal on-device step time. Median over 3 rounds.
+    def timed_batch(state, k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state = step(state, 1e9)
+        jax.block_until_ready(state.vf)
+        return time.perf_counter() - t0, state
+
+    samples = []
+    for _ in range(3):
+        t1, state = timed_batch(state, STEPS)
+        t2, state = timed_batch(state, 2 * STEPS)
+        samples.append((t2 - t1) / STEPS * 1e3)
+    positive = sorted(s for s in samples if s > 0)
+    if positive:
+        ms = positive[len(positive) // 2]
+    else:  # pathological timing noise: fall back to the raw mean
+        ms = (t2 / (2 * STEPS)) * 1e3
+
+    # force a device->host read so the result cannot be an enqueue artifact
     checksum = float(jnp.sum(state.flow.p)) + float(jnp.sum(state.vf))
-    ms = (time.perf_counter() - t0) / STEPS * 1e3
 
     print(json.dumps({
         "metric": f"two_phase_step_{n}x{n}_ms",
@@ -72,6 +91,7 @@ def _run(warmup: int, n: int):
         "p_iter_per_step": int(state.flow.p_iter),
         "cell_updates_per_sec": round(n * n / (ms * 1e-3)),
         "checksum": round(checksum, 3),
+        "samples_ms": [round(s, 3) for s in samples],
     }))
 
 
@@ -85,12 +105,14 @@ def main():
     budget = float(os.environ.get("FS_BENCH_BUDGET_S", "1800"))
     start = time.time()
 
-    # Health gate: the tunneled TPU sporadically degrades ~1000x for long
-    # stretches; measuring then would record noise, so probe dispatch
-    # latency and wait (within budget) for recovery.
+    # Health gate: the timing below differences two batch sizes, so high
+    # dispatch latency alone is tolerated — the gate only needs the TPU to
+    # be ALIVE (the tunnel sporadically drops workers entirely, surfacing
+    # as UNAVAILABLE crashes / probe timeouts / unregistered backend).
     def healthy() -> bool:
         probe = (
             "import time,jax,jax.numpy as jnp;"
+            "assert jax.devices()[0].platform != 'cpu';"
             "x=jnp.ones((256,256));float(x.sum());"
             "t0=time.time();"
             "ys=[float((x*2).sum()) for _ in range(5)];"
@@ -101,7 +123,7 @@ def main():
                                  capture_output=True, text=True, timeout=240)
             lat = float(out.stdout.strip().splitlines()[-1])
             sys.stderr.write(f"health probe: {lat * 1e3:.1f} ms/dispatch\n")
-            return lat < 0.08
+            return lat < 1.0
         except Exception:
             return False
 
