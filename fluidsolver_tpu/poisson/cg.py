@@ -30,6 +30,32 @@ def _dot(a, b):
     return jnp.sum(a * b)
 
 
+def build_precond_levels(op: StencilOp, precond: str, precond_dtype=None):
+    """Build the multigrid hierarchy for ``precond`` in {"mg", "boxmg"}.
+
+    Exposed so solvers can hoist the (per-operator) setup out of their
+    subiteration loops: the preconditioner may lag the operator by a few
+    subiterations of density transport — PCG only needs M to be a fixed SPD
+    map per solve — which amortizes one setup over ``num_subiter`` solves.
+    (The reference pays a full HYPRE PFMG re-setup per subiteration instead,
+    examples/TwoPhaseSolver.cpp:360.)
+    """
+    if precond == "boxmg":
+        from fluidsolver_tpu.poisson import boxmg as mg_impl
+    elif precond == "mg":
+        mg_impl = mg_mod
+    else:
+        return None
+    if precond_dtype is not None and precond_dtype != op.aC.dtype:
+        import dataclasses as _dc
+
+        op = _dc.replace(
+            op, **{f.name: getattr(op, f.name).astype(precond_dtype)
+                   for f in _dc.fields(op)}
+        )
+    return mg_impl.build_hierarchy(op)
+
+
 def solve_pcg(
     op: StencilOp,
     b: jnp.ndarray,
@@ -40,11 +66,22 @@ def solve_pcg(
     n_pre: int = 1,
     n_post: int = 1,
     precond_dtype=None,
+    x0: Optional[jnp.ndarray] = None,
+    levels=None,
 ):
-    """Solve A x = b from a zero initial guess.
+    """Solve A x = b from a zero initial guess (or warm start ``x0``).
 
     Returns (x, rel_residual, iterations). ``singular=True`` enables nullspace
     projection for the all-Neumann operator.
+
+    ``x0``: optional warm-start guess (e.g. the previous subiteration's
+    pressure increment). The convergence criterion stays ``||b - A x|| /
+    ||b|| < tol`` — identical solution quality to a cold start, just fewer
+    iterations when ``x0`` is good. Guarded: if ``||b - A x0|| > ||b||`` the
+    guess is discarded, so a bad guess costs one operator application and
+    nothing else. (The reference always zeroes the initial guess,
+    src/LinearSolver_StructHypre.hpp:123-127 — warm starting is a strict
+    improvement the HYPRE wrapper never attempts.)
 
     ``precond_dtype`` (e.g. ``jnp.bfloat16``): run the MG V-cycle in a lower
     precision than the CG iteration. The V-cycle is pure HBM-bandwidth-bound
@@ -52,26 +89,24 @@ def solve_pcg(
     preconditioner stays a fixed deterministic SPD-to-rounding map, which PCG
     tolerates (bf16 keeps the f32 exponent, so only mantissa is lost).
     """
-    if precond == "mg":
-        if precond_dtype is not None and precond_dtype != b.dtype:
-            import dataclasses as _dc
+    if precond in ("mg", "boxmg"):
+        if precond == "boxmg":
+            from fluidsolver_tpu.poisson import boxmg as mg_impl
+        else:
+            mg_impl = mg_mod
+        if levels is None:
+            levels = build_precond_levels(op, precond, precond_dtype)
+        lvl_dtype = levels[0].op.aC.dtype
 
-            op_lo = _dc.replace(
-                op, **{f.name: getattr(op, f.name).astype(precond_dtype)
-                       for f in _dc.fields(op)}
-            )
-            levels = mg_mod.build_hierarchy(op_lo)
-
+        if lvl_dtype != b.dtype:
             def M_inv(r):
-                z = mg_mod.v_cycle(
-                    levels, r.astype(precond_dtype), n_pre=n_pre, n_post=n_post
+                z = mg_impl.v_cycle(
+                    levels, r.astype(lvl_dtype), n_pre=n_pre, n_post=n_post
                 )
                 return z.astype(r.dtype)
         else:
-            levels = mg_mod.build_hierarchy(op)
-
             def M_inv(r):
-                return mg_mod.v_cycle(levels, r, n_pre=n_pre, n_post=n_post)
+                return mg_impl.v_cycle(levels, r, n_pre=n_pre, n_post=n_post)
     elif precond == "jacobi":
         aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
 
@@ -92,19 +127,47 @@ def solve_pcg(
     b_norm = jnp.sqrt(_dot(b, b))
     safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b  # zero initial guess
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b  # zero initial guess
+    else:
+        x0 = project(x0.astype(b.dtype))
+        r_ws = b - apply_op(op, x0)
+        good = _dot(r_ws, r_ws) < _dot(b, b)
+        x0 = jnp.where(good, x0, jnp.zeros_like(b))
+        r0 = jnp.where(good, r_ws, b)
     z0 = project(M_inv(r0))
     p0 = z0
     rz0 = _dot(r0, z0)
 
+    # Stagnation guard: in f32 the CG recurrence residual hits a rounding
+    # floor (~eps32 * kappa(A) for the strong-jump operator) that can sit
+    # ABOVE ``tol`` — without a guard, every such solve burns the full
+    # ``max_iter`` budget making no progress (measured: 4.8x total-iteration
+    # blowup vs f64 on a 1000:1 gravity drop). Stop once the residual has
+    # not improved by >0.01% for ``STAG_WINDOW`` consecutive iterations; the
+    # returned ``rel`` stays honest (it is always the achieved recurrence
+    # residual, never clamped to tol). The window is dtype-aware: weakly-
+    # preconditioned CG on jump coefficients shows genuine 25+-iteration
+    # plateaus before recovering, so in f64 (where the floor is ~1e-15 and
+    # essentially never limits a physical tolerance) the window is very
+    # conservative; in f32 (the TPU production path, floor ~eps32*kappa)
+    # it is tight — the extra window iterations are cheap next to the
+    # hundreds saved per capped solve.
+    STAG_WINDOW = 25 if jnp.finfo(b.dtype).bits <= 32 else 100
+
+    rel0 = jnp.sqrt(_dot(r0, r0)) / safe_b_norm
+
     def cond(carry):
-        _, r, _, _, _, k = carry
+        _, r, _, _, _, k, best, since = carry
         rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
-        return (k < max_iter) & (rel > tol) & (b_norm > 0.0)
+        return (
+            (k < max_iter) & (rel > tol) & (b_norm > 0.0)
+            & (since < STAG_WINDOW)
+        )
 
     def body(carry):
-        x, r, z, p, rz, k = carry
+        x, r, z, p, rz, k, best, since = carry
         Ap = apply_op(op, p)
         pAp = _dot(p, Ap)
         alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
@@ -114,8 +177,14 @@ def solve_pcg(
         rz_new = _dot(r, z)
         beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
+        improved = rel < best * 0.9999
+        best = jnp.minimum(best, rel)
+        since = jnp.where(improved, 0, since + 1)
+        return (x, r, z, p, rz_new, k + 1, best, since)
 
-    x, r, _, _, _, iters = lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    x, r, _, _, _, iters, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, 0, rel0, 0)
+    )
     rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
     return project(x) if singular else x, rel, iters

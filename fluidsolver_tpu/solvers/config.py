@@ -33,14 +33,24 @@ class SolverConfig:
     pressure_tol: float = 1e-6
     pressure_max_iter: int = 50
     pressure_pin: Optional[str] = None  # None | "left"|"right"|"bottom"|"top"
-    # "mg" (PCG + geometric-multigrid V-cycle, the HYPRE PCG+PFMG analog),
-    # "jacobi" (diag-precond CG, the Accelerate-backend analog,
+    # "boxmg" (PCG + operator-dependent blackbox-MG V-cycle, poisson/boxmg.py
+    # — h-independent ~10-12 iters on 1000:1 jumps, 3.3x fewer than "mg"),
+    # "mg" (PCG + PC-Galerkin geometric MG, the literal HYPRE PCG+PFMG
+    # analog), "jacobi" (diag-precond CG, the Accelerate-backend analog,
     # src/LinearSolver_Accelerate.hpp), "none", or "direct" (dense, small grids)
-    pressure_solver: str = "mg"
-    # TODO(perf): bilinear transfers in the V-cycle (PC transfers cap the
-    # convergence factor ~0.5; bilinear reaches ~0.1)
+    pressure_solver: str = "boxmg"
     mg_pre: int = 2
     mg_post: int = 2
+    # warm-start each subiteration's pressure solve from the previous
+    # subiteration's increment. Guarded inside cg.solve_pcg (a bad guess is
+    # discarded), and the stopping criterion stays ||b - A x||/||b|| < tol,
+    # so solution quality is identical to the reference's always-cold start
+    # (src/LinearSolver_StructHypre.hpp:123-127) — just fewer iterations.
+    pressure_warm_start: bool = True
+    # run the MG V-cycle preconditioner in lower precision (e.g. "bfloat16"):
+    # the V-cycle is HBM-bandwidth-bound, so halving the bytes nearly halves
+    # its cost; the preconditioner stays a fixed SPD-to-rounding map.
+    pressure_precond_dtype: Optional[str] = None
 
     # boundary conditions
     bcs: FlowBCs = None

@@ -27,9 +27,12 @@ from fluidsolver_tpu.solvers.config import SolverConfig
 from fluidsolver_tpu.solvers.state import FlowState, save_old
 
 
-def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig):
+def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
+                   x0=None, levels=None):
     """Assemble + PCG-solve the pressure Poisson system; returns the gauge-
-    shifted increment delta_p and solver stats."""
+    shifted increment delta_p and solver stats. ``x0``: optional warm-start
+    guess; ``levels``: optional prebuilt MG hierarchy (see cg.solve_pcg /
+    cg.build_precond_levels)."""
     op = linsys.assemble_pressure_operator(
         state.rho_u, state.rho_v, grid.dx, grid.dy, cfg.pressure_pin
     )
@@ -42,6 +45,10 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig):
         rel = jnp.zeros((), rhs.dtype)
         iters = jnp.ones((), jnp.int32)
     else:
+        precond_dtype = (
+            jnp.dtype(cfg.pressure_precond_dtype)
+            if cfg.pressure_precond_dtype is not None else None
+        )
         delta_p, rel, iters = cg.solve_pcg(
             op,
             rhs,
@@ -51,9 +58,28 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig):
             precond=cfg.pressure_solver,
             n_pre=cfg.mg_pre,
             n_post=cfg.mg_post,
+            precond_dtype=precond_dtype,
+            x0=x0,
+            levels=levels,
         )
     delta_p = stencil.shift_pressure_to_zero(delta_p, grid.dx, grid.dy)
     return delta_p, rel, iters
+
+
+def build_step_levels(rho_u, rho_v, grid: Grid, cfg: SolverConfig):
+    """Per-step MG hierarchy from the step-start densities (hoisted out of
+    the subiteration loop; the preconditioner lags the density transport by
+    at most one step, which PCG tolerates — cg.build_precond_levels)."""
+    if cfg.pressure_solver not in ("mg", "boxmg"):
+        return None
+    op = linsys.assemble_pressure_operator(
+        rho_u, rho_v, grid.dx, grid.dy, cfg.pressure_pin
+    )
+    pd = (
+        jnp.dtype(cfg.pressure_precond_dtype)
+        if cfg.pressure_precond_dtype is not None else None
+    )
+    return cg.build_precond_levels(op, cfg.pressure_solver, pd)
 
 
 def project_velocity(U, V, delta_p, rho_u, rho_v, dt, dx: float, dy: float):
@@ -79,7 +105,7 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
     if cfg.ib_mode is not None and ib is None:
         raise ValueError(f"ib_mode={cfg.ib_mode!r} requires precomputed ib fields")
 
-    def subiter(state: FlowState, dt) -> FlowState:
+    def subiter(state: FlowState, dp_prev, dt, levels=None):
         # ib may be a callable(state) for time-dependent solids
         # (the growing-solid case, examples/GrowingIB.cpp)
         ib_f = ib(state) if callable(ib) else ib
@@ -145,13 +171,17 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         div = stencil.divergence(U, V, grid.dx, grid.dy)
         if div_source is not None:
             div = div + div_source(state, dt)
-        delta_p, rel, iters = pressure_solve(state, div, dt, grid, cfg)
+        delta_p, rel, iters = pressure_solve(
+            state, div, dt, grid, cfg,
+            x0=dp_prev if cfg.pressure_warm_start else None,
+            levels=levels,
+        )
         p = state.p + delta_p
         U, V = project_velocity(U, V, delta_p, state.rho_u, state.rho_v, dt, grid.dx, grid.dy)
 
         return dataclasses.replace(
             state, U=U, V=V, p=p, p_res=rel, p_iter=state.p_iter + iters
-        )
+        ), delta_p
 
     @jax.jit
     def step(state: FlowState, t_end) -> FlowState:
@@ -165,13 +195,19 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         state = dataclasses.replace(state, p_iter=jnp.zeros((), jnp.int32))
         # fori_loop so the subiteration (incl. the pressure solve) compiles
         # once; dt == 0 (t_end reached, e.g. trailing scan steps) skips the
-        # physics entirely — the Poisson RHS divides by dt
-        state = jax.lax.cond(
-            dt > 0.0,
-            lambda s: jax.lax.fori_loop(0, cfg.num_subiter, lambda _, x: subiter(x, dt), s),
-            lambda s: s,
-            state,
-        )
+        # physics entirely — the Poisson RHS divides by dt. The carry also
+        # threads the pressure increment so each subiteration warm-starts
+        # from the previous one (cfg.pressure_warm_start).
+        dp0 = jnp.zeros_like(state.p)
+
+        def do_subiters(s):
+            levels = build_step_levels(s.rho_u, s.rho_v, grid, cfg)
+            return jax.lax.fori_loop(
+                0, cfg.num_subiter,
+                lambda _, c: subiter(c[0], c[1], dt, levels), (s, dp0),
+            )[0]
+
+        state = jax.lax.cond(dt > 0.0, do_subiters, lambda s: s, state)
         return dataclasses.replace(state, t=state.t + dt, dt=dt)
 
     return step

@@ -42,8 +42,10 @@ K = 16  # vertex buffer size: octagon (8) + 4 rect clips + PLIC clip <= 13
 # ---- point backtracking (src/VOF.hpp:66-85) -------------------------------
 def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt):
     """RK4 backward trace through the cell-centered interpolated velocity."""
-    x0 = grid.xm[1]
-    y0 = grid.ym[1]
+    # Python floats (weak-typed), NOT numpy f64 scalars: under enabled x64 a
+    # numpy scalar would promote the whole f32 backtrack (and hence vf) to f64
+    x0 = float(grid.xm[1])
+    y0 = float(grid.ym[1])
 
     def vel(x, y):
         u = sample_centered(Ui, x0, grid.dx, y0, grid.dy, x, y)

@@ -172,6 +172,120 @@ def test_vcycle_transfer_variants_converge():
         assert err < 1e-6, (transfers, err)
 
 
+def test_boxmg_h_independent_drop():
+    # BoxMG (operator-dependent transfers + exact Galerkin 9-point RAP) must
+    # converge h-independently on the 1000:1 drop — the property PC-Galerkin
+    # MG lacks (mg.v_cycle docstring: 49 -> 67 iters doubling n)
+    iters_by_n = {}
+    for n in (64, 128):
+        g, op = _drop_system(n, n)
+        x_true = RNG.normal(size=g.shape_center)
+        x_true -= x_true.mean()
+        b = linsys.apply_op(op, jnp.asarray(x_true))
+        x, rel, iters = cg.solve_pcg(
+            op, b, 1e-10, 100, singular=True, precond="boxmg", n_pre=1, n_post=1
+        )
+        assert rel < 1e-10, (n, float(rel))
+        np.testing.assert_allclose(np.asarray(x), x_true, atol=5e-7)
+        iters_by_n[n] = int(iters)
+    assert iters_by_n[64] <= 20 and iters_by_n[128] <= 20, iters_by_n
+    assert iters_by_n[128] <= iters_by_n[64] + 3, iters_by_n
+
+
+def test_boxmg_pinned_and_checkerboard():
+    # pinned (nonsingular) rows and pathological random-checkerboard
+    # coefficients through the BoxMG path
+    x, x_true, rel, iters = _manufactured_solve(pin="right", precond="boxmg")
+    assert rel < 1e-10, (rel, iters)
+    np.testing.assert_allclose(x, x_true, atol=5e-7)
+    x, x_true, rel, iters = _manufactured_solve(pin=None, precond="boxmg")
+    assert rel < 1e-10, (rel, iters)
+    np.testing.assert_allclose(x, x_true, atol=5e-7)
+
+
+def test_boxmg_galerkin_exact_vs_dense():
+    # comb-probed coarse operator == dense P^T A P on an odd-sized grid
+    import scipy.sparse as sp
+
+    from fluidsolver_tpu.poisson import boxmg
+
+    g, rho_u, rho_v, op = _system(nx=9, ny=7, pin=None, two_phase=True)
+    tr = boxmg.collapse_weights(op)
+    N, M = op.aC.shape
+    Nc, Mc = (N + 1) // 2, (M + 1) // 2
+    # dense P from prolong of coarse unit vectors
+    P = np.zeros((N * M, Nc * Mc))
+    for k in range(Nc * Mc):
+        e = np.zeros(Nc * Mc)
+        e[k] = 1.0
+        P[:, k] = np.asarray(
+            boxmg.prolong_box(tr, jnp.asarray(e.reshape(Nc, Mc)), (N, M))
+        ).ravel()
+    A = oracle.poisson_dense_matrix(
+        *oracle.assemble_poisson(g.nx, g.ny, rho_u, rho_v, g.dx, g.dy)
+    )
+    Ac_dense = P.T @ A @ P
+    st9 = boxmg.galerkin_boxmg(op, tr, (N, M))
+    # reassemble dense from the 9 coefficient arrays
+    got = np.zeros_like(Ac_dense)
+    idx = np.arange(Nc * Mc).reshape(Nc, Mc)
+    offs = {"aC": (0, 0), "aL": (-1, 0), "aR": (1, 0), "aB": (0, -1),
+            "aT": (0, 1), "aSW": (-1, -1), "aSE": (1, -1), "aNW": (-1, 1),
+            "aNE": (1, 1)}
+    for name, (di, dj) in offs.items():
+        arr = np.asarray(getattr(st9, name))
+        for i in range(Nc):
+            for j in range(Mc):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < Nc and 0 <= jj < Mc:
+                    got[idx[i, j], idx[ii, jj]] += arr[i, j]
+    np.testing.assert_allclose(got, Ac_dense, rtol=1e-12, atol=1e-12)
+    # restriction is the exact transpose of prolongation
+    R = np.zeros((Nc * Mc, N * M))
+    for k in range(N * M):
+        e = np.zeros(N * M)
+        e[k] = 1.0
+        R[:, k] = np.asarray(
+            boxmg.restrict_box(tr, jnp.asarray(e.reshape(N, M)))
+        ).ravel()
+    np.testing.assert_allclose(R, P.T, rtol=1e-12, atol=1e-12)
+
+
+def test_pcg_warm_start():
+    # a perfect guess must converge (near-)immediately; a garbage guess must
+    # be discarded by the ||b - A x0|| > ||b|| guard and cost nothing
+    g, op = _drop_system(32, 32)
+    x_true = RNG.normal(size=g.shape_center)
+    x_true -= x_true.mean()
+    b = linsys.apply_op(op, jnp.asarray(x_true))
+    x_cold, _, it_cold = cg.solve_pcg(op, b, 1e-10, 400, singular=True)
+    _, rel, it_warm = cg.solve_pcg(op, b, 1e-10, 400, singular=True, x0=x_cold)
+    assert int(it_warm) <= 1, int(it_warm)
+    assert float(rel) < 1e-10
+    garbage = jnp.asarray(1e6 * RNG.normal(size=g.shape_center))
+    x_g, rel_g, it_g = cg.solve_pcg(op, b, 1e-10, 400, singular=True, x0=garbage)
+    assert float(rel_g) < 1e-10
+    assert int(it_g) <= int(it_cold) + 1, (int(it_g), int(it_cold))
+    np.testing.assert_allclose(np.asarray(x_g), x_true, atol=5e-7)
+
+
+def test_pcg_stagnation_guard_f32():
+    # an unattainable tolerance in f32 must terminate at the rounding floor
+    # instead of burning max_iter, and report the honest achieved residual
+    g, op = _drop_system(64, 64)
+    op32 = type(op)(**{
+        f: getattr(op, f).astype(jnp.float32) for f in ("aC", "aL", "aR", "aB", "aT")
+    })
+    x_true = RNG.normal(size=g.shape_center).astype(np.float32)
+    x_true -= x_true.mean()
+    b = linsys.apply_op(op32, jnp.asarray(x_true))
+    x, rel, iters = cg.solve_pcg(op32, b, tol=1e-14, max_iter=500, singular=True)
+    assert int(iters) < 150, int(iters)  # stopped at stagnation, not max_iter
+    assert float(rel) > 1e-14  # honest (floor above tol)
+    assert float(rel) < 1e-5  # but converged to the f32 floor
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-3)
+
+
 def test_rhs_mean_subtraction_and_pinning():
     g = make_grid(0.0, 1.0, 8, 0.0, 1.0, 8)
     div = jnp.asarray(RNG.normal(size=g.shape_center))
