@@ -38,7 +38,7 @@ def main():
         b -= b.mean()
         b = jnp.asarray(b)
 
-        for precond, max_iter in [("mg", 100), ("jacobi", 3000)]:
+        for precond, max_iter in [("boxmg", 100), ("mg", 100), ("jacobi", 3000)]:
             solve = jax.jit(
                 lambda ru, rv, b, p=precond, mi=max_iter: cg.solve_pcg(
                     linsys.assemble_pressure_operator(ru, rv, g.dx, g.dy, None),

@@ -1,0 +1,333 @@
+"""BoxMG: operator-dependent blackbox multigrid (Dendy 1982, JCP 48).
+
+The PC-Galerkin V-cycle in ``poisson/mg.py`` replaces HYPRE PFMG iteration-
+for-iteration, but its convergence factor (~0.5) is capped by the piecewise-
+constant transfers (see mg.v_cycle docstring: the measured fix — smoothed
+transfers with exact Galerkin — explodes the coarse-stencil footprint under
+cell AGGREGATION coarsening). BoxMG sidesteps that: coarse unknowns are the
+even-index subset of the cell-center graph (vertex-style coarsening on the
+index set — the preconditioner is pure algebra, nothing requires coarse
+points to sit at coarse-cell centroids), the interpolation collapses the
+actual operator rows (so it is exact across 1000:1 density jumps where
+bilinear interpolates wrongly), restriction is the exact transpose, and the
+Galerkin product R A P stays a 9-POINT stencil closed under recursion —
+representable matrix-free as nine coefficient arrays.
+
+Measured (numpy prototype, 1000:1 drop, tol 1e-10, V(1,1)-PCG):
+
+    n      pc-Galerkin   BoxMG
+    128        49          11
+    256        67          12     <- h-independent
+
+The coarse operator is built by comb probing: for a 9-point A_c, coarse
+points with indices equal mod 3 are never coupled, so 9 sweeps of
+R(A(P(comb_{a,b}))) recover every stencil entry exactly — no sparse algebra,
+just dense stencil applications (setup ~27 fine-grid sweeps per level, all
+fused elementwise XLA; HYPRE pays a comparable PFMG setup,
+src/LinearSolver_StructHypre.hpp:217-237).
+
+Replaces: HYPRE StructPCG+PFMG (reference default,
+src/LinearSolver_StructHypre.hpp:31-32) — same role, stronger convergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from jax import lax
+
+from fluidsolver_tpu.core.fields import register_pytree_dataclass
+from fluidsolver_tpu.poisson.linsys import StencilOp, apply_op
+
+MAX_LEVELS = 16
+COARSEST = 4
+COARSE_SWEEPS = 8
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class Stencil9:
+    """9-point operator as coefficient arrays (5-point + corners)."""
+
+    aC: jnp.ndarray
+    aL: jnp.ndarray
+    aR: jnp.ndarray
+    aB: jnp.ndarray
+    aT: jnp.ndarray
+    aSW: jnp.ndarray
+    aSE: jnp.ndarray
+    aNW: jnp.ndarray
+    aNE: jnp.ndarray
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class BoxTransfer:
+    """Interpolation weights, all shaped (Nc, Mc) = coarse shape.
+
+    Fine index convention (N = fine rows, Nc = (N+1)//2):
+      fine (2k,   2l)   <- injection from coarse (k, l)
+      fine (2k+1, 2l)   <- pW[k,l]*c(k,l)   + pE[k,l]*c(k+1,l)
+      fine (2k,   2l+1) <- pS[k,l]*c(k,l)   + pN[k,l]*c(k,l+1)
+      fine (2k+1, 2l+1) <- pSW[k,l]*c(k,l)  + pSE[k,l]*c(k+1,l)
+                         + pNW[k,l]*c(k,l+1)+ pNE[k,l]*c(k+1,l+1)
+    Rows beyond the fine grid (when N or M is even, k = Nc-1 edge cases)
+    carry zero weights.
+    """
+
+    pW: jnp.ndarray
+    pE: jnp.ndarray
+    pS: jnp.ndarray
+    pN: jnp.ndarray
+    pSW: jnp.ndarray
+    pSE: jnp.ndarray
+    pNW: jnp.ndarray
+    pNE: jnp.ndarray
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class BoxLevel:
+    op: object          # StencilOp (finest) or Stencil9 (coarse levels)
+    red: jnp.ndarray    # checkerboard mask for the smoother
+    tr: object          # BoxTransfer to the next coarser level, or None
+
+
+def _corners(op):
+    if isinstance(op, Stencil9):
+        return op.aSW, op.aSE, op.aNW, op.aNE
+    z = jnp.zeros_like(op.aC)
+    return z, z, z, z
+
+
+def apply_op9(op: Stencil9, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x for the 9-point stencil, zero beyond-edge neighbors."""
+
+    def sh(a, di, dj):
+        # value of a at (i+di, j+dj), zero outside
+        if di == -1:
+            a = jnp.pad(a[:-1, :], ((1, 0), (0, 0)))
+        elif di == 1:
+            a = jnp.pad(a[1:, :], ((0, 1), (0, 0)))
+        if dj == -1:
+            a = jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
+        elif dj == 1:
+            a = jnp.pad(a[:, 1:], ((0, 0), (0, 1)))
+        return a
+
+    return (
+        op.aC * x
+        + op.aL * sh(x, -1, 0) + op.aR * sh(x, 1, 0)
+        + op.aB * sh(x, 0, -1) + op.aT * sh(x, 0, 1)
+        + op.aSW * sh(x, -1, -1) + op.aSE * sh(x, 1, -1)
+        + op.aNW * sh(x, -1, 1) + op.aNE * sh(x, 1, 1)
+    )
+
+
+def apply_any(op, x):
+    return apply_op(op, x) if isinstance(op, StencilOp) else apply_op9(op, x)
+
+
+def _safe(d):
+    return jnp.where(d == 0.0, 1.0, d)
+
+
+def _pad_to(a, shape):
+    return jnp.pad(a, ((0, shape[0] - a.shape[0]), (0, shape[1] - a.shape[1])))
+
+
+def collapse_weights(op) -> BoxTransfer:
+    """Operator-collapsed interpolation weights (Dendy 1982 eqs. 3.2-3.5).
+
+    Fine points on coarse lines collapse their row perpendicular to the
+    line; (odd, odd) points collapse the full row using the line weights.
+    For zero-row-sum operators every P row sums to 1 (constants preserved ->
+    Galerkin coarse operators keep the all-Neumann nullspace); identity
+    (pinned) rows get zero weights.
+    """
+    c, w, e, s, n = op.aC, op.aL, op.aR, op.aB, op.aT
+    asw, ase, anw, ane = _corners(op)
+    N, M = c.shape
+    Nc, Mc = (N + 1) // 2, (M + 1) // 2
+
+    # x-line points (odd i): collapse columns of the 3x3 row
+    pW_full = -(w + anw + asw) / _safe(c + n + s)
+    pE_full = -(e + ane + ase) / _safe(c + n + s)
+    # y-line points (odd j): collapse rows
+    pS_full = -(s + asw + ase) / _safe(c + w + e)
+    pN_full = -(n + anw + ane) / _safe(c + w + e)
+
+    # pad by 1 so i+1 / j+1 reads at the high edge are in range (their
+    # operator coefficients are zero there, so the value is irrelevant)
+    def pad1(a):
+        return jnp.pad(a, ((0, 1), (0, 1)))
+
+    pWf, pEf, pSf, pNf = map(pad1, (pW_full, pE_full, pS_full, pN_full))
+
+    ii = jnp.arange(1, N, 2)
+    jj = jnp.arange(1, M, 2)
+    I, J = jnp.meshgrid(ii, jj, indexing="ij")  # (odd, odd) fine points
+
+    cden = _safe(c[1::2, 1::2])
+    vSW = asw[1::2, 1::2] + w[1::2, 1::2] * pSf[I - 1, J] + s[1::2, 1::2] * pWf[I, J - 1]
+    vSE = ase[1::2, 1::2] + e[1::2, 1::2] * pSf[I + 1, J] + s[1::2, 1::2] * pEf[I, J - 1]
+    vNW = anw[1::2, 1::2] + w[1::2, 1::2] * pNf[I - 1, J] + n[1::2, 1::2] * pWf[I, J + 1]
+    vNE = ane[1::2, 1::2] + e[1::2, 1::2] * pNf[I + 1, J] + n[1::2, 1::2] * pEf[I, J + 1]
+
+    shape = (Nc, Mc)
+    return BoxTransfer(
+        pW=_pad_to(pW_full[1::2, 0::2], shape),
+        pE=_pad_to(pE_full[1::2, 0::2], shape),
+        pS=_pad_to(pS_full[0::2, 1::2], shape),
+        pN=_pad_to(pN_full[0::2, 1::2], shape),
+        pSW=_pad_to(-vSW / cden, shape),
+        pSE=_pad_to(-vSE / cden, shape),
+        pNW=_pad_to(-vNW / cden, shape),
+        pNE=_pad_to(-vNE / cden, shape),
+    )
+
+
+def prolong_box(tr: BoxTransfer, e: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    """Fine = P e (interleave injection / line / interior contributions)."""
+    Nc, Mc = e.shape
+    ep = jnp.pad(e, ((0, 1), (0, 1)))  # zero-extend for k+1 / l+1 reads
+    inj = e
+    xedge = tr.pW * e + tr.pE * ep[1:Nc + 1, :Mc]
+    yedge = tr.pS * e + tr.pN * ep[:Nc, 1:Mc + 1]
+    inter = (
+        tr.pSW * e + tr.pSE * ep[1:Nc + 1, :Mc]
+        + tr.pNW * ep[:Nc, 1:Mc + 1] + tr.pNE * ep[1:Nc + 1, 1:Mc + 1]
+    )
+    row_even = jnp.stack([inj, yedge], axis=-1).reshape(Nc, 2 * Mc)
+    row_odd = jnp.stack([xedge, inter], axis=-1).reshape(Nc, 2 * Mc)
+    fine = jnp.stack([row_even, row_odd], axis=1).reshape(2 * Nc, 2 * Mc)
+    return fine[: fine_shape[0], : fine_shape[1]]
+
+
+def restrict_box(tr: BoxTransfer, r: jnp.ndarray) -> jnp.ndarray:
+    """Coarse = P^T r (exact transpose of prolong_box -> the V-cycle stays
+    a symmetric preconditioner for PCG)."""
+    N, M = r.shape
+    Nc, Mc = (N + 1) // 2, (M + 1) // 2
+    shape = (Nc, Mc)
+    inj = _pad_to(r[0::2, 0::2], shape)
+    X = _pad_to(r[1::2, 0::2], shape)   # x-edge values, index (k, l)
+    Y = _pad_to(r[0::2, 1::2], shape)
+    T = _pad_to(r[1::2, 1::2], shape)
+
+    def shm(a, di, dj):
+        # a[k - di, l - dj] with zero outside (gather "previous" entries)
+        if di:
+            a = jnp.pad(a[:-1, :], ((1, 0), (0, 0)))
+        if dj:
+            a = jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
+        return a
+
+    out = inj
+    out = out + tr.pW * X + shm(tr.pE * X, 1, 0)
+    out = out + tr.pS * Y + shm(tr.pN * Y, 0, 1)
+    out = out + tr.pSW * T + shm(tr.pSE * T, 1, 0)
+    out = out + shm(tr.pNW * T, 0, 1) + shm(tr.pNE * T, 1, 1)
+    return out
+
+
+def galerkin_boxmg(op, tr: BoxTransfer, fine_shape) -> Stencil9:
+    """Exact Galerkin coarse operator A_c = P^T A P by comb probing.
+
+    A_c is 9-point (P has radius-1 fine support per coarse point, A radius
+    1), so coarse points whose indices agree mod 3 are never coupled: nine
+    probes with period-3 combs recover all entries exactly.
+    """
+    Nc, Mc = tr.pW.shape
+    dtype = tr.pW.dtype
+    I = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
+    J = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
+
+    Y = {}
+    for a in range(3):
+        for b in range(3):
+            comb = (((I % 3) == a) & ((J % 3) == b)).astype(dtype)
+            Y[(a, b)] = restrict_box(tr, apply_any(op, prolong_box(tr, comb, fine_shape)))
+
+    def coef(dI, dJ):
+        # entry A_c((I,J) -> (I+dI, J+dJ)) lives in the comb of that class
+        out = jnp.zeros((Nc, Mc), dtype)
+        for a in range(3):
+            for b in range(3):
+                mask = (((I + dI) % 3) == a) & (((J + dJ) % 3) == b)
+                out = out + jnp.where(mask, Y[(a, b)], 0.0)
+        # zero couplings that point outside the coarse grid
+        valid = (I + dI >= 0) & (I + dI < Nc) & (J + dJ >= 0) & (J + dJ < Mc)
+        return jnp.where(valid, out, 0.0)
+
+    return Stencil9(
+        aC=coef(0, 0),
+        aL=coef(-1, 0), aR=coef(1, 0), aB=coef(0, -1), aT=coef(0, 1),
+        aSW=coef(-1, -1), aSE=coef(1, -1), aNW=coef(-1, 1), aNE=coef(1, 1),
+    )
+
+
+def _checkerboard(shape, dtype):
+    ii = lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (((ii + jj) % 2) == 0).astype(dtype)
+
+
+def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
+    """Finest level keeps the 5-point operator (no wasted zero-corner
+    bandwidth on the dominant-cost sweeps); coarse levels are 9-point."""
+    dtype = op.aC.dtype
+    levels = []
+    cur = op
+    while True:
+        shape = cur.aC.shape
+        done = len(levels) + 1 >= MAX_LEVELS or max(shape) <= COARSEST
+        tr = None if done else collapse_weights(cur)
+        levels.append(BoxLevel(op=cur, red=_checkerboard(shape, dtype), tr=tr))
+        if done:
+            return levels
+        cur = galerkin_boxmg(cur, tr, shape)
+
+
+def _rb_sweep(level: BoxLevel, x, b, reverse=False):
+    """Red-black sweep; on 9-point levels the same-color diagonal couplings
+    use previous-iterate values (standard two-color smoothing for 9-point
+    stencils — still an excellent BoxMG smoother, validated in the
+    prototype)."""
+    op = level.op
+    aC_safe = _safe(op.aC)
+
+    def color_update(x, mask):
+        ax_off = apply_any(op, x) - op.aC * x
+        x_new = (b - ax_off) / aC_safe
+        return jnp.where(mask > 0.5, x_new, x)
+
+    first = 1.0 - level.red if reverse else level.red
+    x = color_update(x, first)
+    x = color_update(x, 1.0 - first)
+    return x
+
+
+def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
+            n_post: int = 1) -> jnp.ndarray:
+    """One symmetric V(n_pre, n_post) cycle from a zero initial guess."""
+
+    def cycle(lvl, b_l):
+        level = levels[lvl]
+        x = jnp.zeros_like(b_l)
+        if lvl == len(levels) - 1:
+            for _ in range(COARSE_SWEEPS // 2):
+                x = _rb_sweep(level, x, b_l)
+                x = _rb_sweep(level, x, b_l, reverse=True)
+            return x
+        for _ in range(n_pre):
+            x = _rb_sweep(level, x, b_l)
+        r = b_l - apply_any(level.op, x)
+        ec = cycle(lvl + 1, restrict_box(level.tr, r))
+        x = x + prolong_box(level.tr, ec, b_l.shape)
+        for _ in range(n_post):
+            x = _rb_sweep(level, x, b_l, reverse=True)
+        return x
+
+    return cycle(0, b)
