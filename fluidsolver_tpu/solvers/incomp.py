@@ -105,6 +105,18 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
     if cfg.ib_mode is not None and ib is None:
         raise ValueError(f"ib_mode={cfg.ib_mode!r} requires precomputed ib fields")
 
+    # Single-phase density is constant (= cfg.rho_gas everywhere), so the MG
+    # hierarchy is built here ONCE from constants — XLA constant-folds the
+    # whole setup at compile time and the per-step cost is zero. (The CG
+    # operator itself is still assembled from state.rho_u, so a user-modified
+    # density only weakens the preconditioner, never correctness.)
+    from fluidsolver_tpu.core import fields as _fields
+
+    const_levels = build_step_levels(
+        _fields.full_u(grid, cfg.rho_gas), _fields.full_v(grid, cfg.rho_gas),
+        grid, cfg,
+    )
+
     def subiter(state: FlowState, dp_prev, dt, levels=None):
         # ib may be a callable(state) for time-dependent solids
         # (the growing-solid case, examples/GrowingIB.cpp)
@@ -201,10 +213,9 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         dp0 = jnp.zeros_like(state.p)
 
         def do_subiters(s):
-            levels = build_step_levels(s.rho_u, s.rho_v, grid, cfg)
             return jax.lax.fori_loop(
                 0, cfg.num_subiter,
-                lambda _, c: subiter(c[0], c[1], dt, levels), (s, dp0),
+                lambda _, c: subiter(c[0], c[1], dt, const_levels), (s, dp0),
             )[0]
 
         state = jax.lax.cond(dt > 0.0, do_subiters, lambda s: s, state)
