@@ -239,16 +239,23 @@ def galerkin_boxmg(op, tr: BoxTransfer, fine_shape) -> Stencil9:
     1), so coarse points whose indices agree mod 3 are never coupled: nine
     probes with period-3 combs recover all entries exactly.
     """
+    import jax
+
     Nc, Mc = tr.pW.shape
     dtype = tr.pW.dtype
     I = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
     J = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
 
-    Y = {}
-    for a in range(3):
-        for b in range(3):
-            comb = (((I % 3) == a) & ((J % 3) == b)).astype(dtype)
-            Y[(a, b)] = restrict_box(tr, apply_any(op, prolong_box(tr, comb, fine_shape)))
+    # all nine probes as ONE vmapped R(A(P(.))) chain: 9x smaller XLA graph
+    # than unrolling, and the batch feeds the VPU full tiles
+    combs = jnp.stack([
+        (((I % 3) == a) & ((J % 3) == b)).astype(dtype)
+        for a in range(3) for b in range(3)
+    ])
+    Ys = jax.vmap(
+        lambda c: restrict_box(tr, apply_any(op, prolong_box(tr, c, fine_shape)))
+    )(combs)
+    Y = {(a, b): Ys[3 * a + b] for a in range(3) for b in range(3)}
 
     def coef(dI, dJ):
         # entry A_c((I,J) -> (I+dI, J+dJ)) lives in the comb of that class
