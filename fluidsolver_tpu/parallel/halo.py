@@ -61,14 +61,18 @@ def make_distributed_jacobi_poisson(mesh, nx_local: int, ny: int, n_iter: int = 
     coefficients are sharded the same way.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P("x"), P("x"), P("x"), P("x"), P("x"), P("x"), P("x")),
         out_specs=(P("x"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(aC, aL, aR, aB, aT, b, x0):
         aC_safe = jnp.where(aC == 0.0, 1.0, aC)

@@ -6,7 +6,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 import oracle
 from fluidsolver_tpu.core.grid import make_grid
@@ -31,7 +34,7 @@ def test_halo_exchange(mesh):
 
     fn = shard_map(
         lambda f: halo.halo_exchange_x(f, "x"),
-        mesh=mesh, in_specs=P("x"), out_specs=P("x"), check_rep=False,
+        mesh=mesh, in_specs=P("x"), out_specs=P("x"), check_vma=False,
     )
     out = np.asarray(fn(jnp.asarray(blocks.reshape(N_DEV * (nxl + 2), ny))))
     out = out.reshape(N_DEV, nxl + 2, ny)
