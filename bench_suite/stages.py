@@ -75,6 +75,38 @@ def main():
         ms, _ = time_kernel(kernel, carry, inner=20, reps=3)
         print(f"{name},{ms * 1e3:.3f}", flush=True)
 
+    def report_dispatched(name, kernel, carry, k=8):
+        """fori-free variant (vof.advect faults Mosaic inside fori_loop,
+        CLAUDE.md): difference K vs 2K dispatch chains so the fixed
+        per-dispatch latency cancels."""
+        import time as _t
+
+        jitted = jax.jit(kernel)
+        out = jitted(carry)
+        jax.block_until_ready(out)
+
+        def run(m):
+            c = carry
+            t0 = _t.perf_counter()
+            for _ in range(m):
+                c = jitted(c)
+            jax.block_until_ready(c)
+            return _t.perf_counter() - t0
+
+        samples = []
+        for _ in range(3):
+            t1 = run(k)
+            t2 = run(2 * k)
+            samples.append((t2 - t1) / k * 1e3)
+        pos = sorted(s for s in samples if s > 0)
+        ms = pos[len(pos) // 2] if pos else max(samples)
+        print(f"{name},{ms:.3f}", flush=True)
+
+    # calibration: known-bandwidth elementwise op (reads+writes 2 arrays).
+    # If this is far above (2 * bytes / 819GB/s), the device/tunnel is
+    # degraded and every number below is inflated — discard the run.
+    report("calibration_axpy", lambda c: c * 1.000001 + 0.5, fs.p)
+
     # momentum stage: drhodt + dmomdt + velocity update (one subiter's worth)
     def k_mom(c):
         U, V = c
@@ -129,12 +161,12 @@ def main():
 
     report("elvira", k_elvira, vf)
 
-    # vof: geometric advection
+    # vof: geometric advection (NOT inside fori_loop — faults Mosaic)
     def k_advect(c):
         out, _ = adv.advect(c, rec, fs.U, fs.V, Ui, Vi, g, dt)
         return out
 
-    report("vof_advect", k_advect, vf)
+    report_dispatched("vof_advect", k_advect, vf)
 
     # curvature (volume matching)
     def k_curv(c):

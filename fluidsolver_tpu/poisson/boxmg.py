@@ -42,7 +42,10 @@ from fluidsolver_tpu.poisson.linsys import StencilOp, apply_op
 
 MAX_LEVELS = 16
 COARSEST = 4
-COARSE_SWEEPS = 8
+# min-dim coarsening stop leaves anisotropic grids with elongated coarsest
+# levels (e.g. 94x3 for a 750x15 channel); 16 symmetric sweep pairs keep
+# those solved well enough, and cost nothing on square (<=4^2) coarsest
+COARSE_SWEEPS = 32
 
 
 @register_pytree_dataclass
@@ -159,21 +162,28 @@ def collapse_weights(op) -> BoxTransfer:
     pN_full = -(n + anw + ane) / _safe(c + w + e)
 
     # pad by 1 so i+1 / j+1 reads at the high edge are in range (their
-    # operator coefficients are zero there, so the value is irrelevant)
+    # operator coefficients are zero there, so the value is irrelevant).
+    # All neighbor reads below are pure strided slices — no gather ops
+    # (2D advanced-index gathers here tripped heap corruption in XLA:CPU).
     def pad1(a):
         return jnp.pad(a, ((0, 1), (0, 1)))
 
     pWf, pEf, pSf, pNf = map(pad1, (pW_full, pE_full, pS_full, pN_full))
 
-    ii = jnp.arange(1, N, 2)
-    jj = jnp.arange(1, M, 2)
-    I, J = jnp.meshgrid(ii, jj, indexing="ij")  # (odd, odd) fine points
+    nk = len(range(1, N, 2))  # number of odd-i rows
+    nl = len(range(1, M, 2))  # number of odd-j cols
+
+    def at(arr, rows, cols):
+        # arr[(odd i) + rows offset, (odd j) + cols offset] as a slice:
+        # rows/cols in {-1, 0, +1} relative to the (odd, odd) lattice
+        r = arr[1 + rows::2][:nk]
+        return r[:, 1 + cols::2][:, :nl]
 
     cden = _safe(c[1::2, 1::2])
-    vSW = asw[1::2, 1::2] + w[1::2, 1::2] * pSf[I - 1, J] + s[1::2, 1::2] * pWf[I, J - 1]
-    vSE = ase[1::2, 1::2] + e[1::2, 1::2] * pSf[I + 1, J] + s[1::2, 1::2] * pEf[I, J - 1]
-    vNW = anw[1::2, 1::2] + w[1::2, 1::2] * pNf[I - 1, J] + n[1::2, 1::2] * pWf[I, J + 1]
-    vNE = ane[1::2, 1::2] + e[1::2, 1::2] * pNf[I + 1, J] + n[1::2, 1::2] * pEf[I, J + 1]
+    vSW = asw[1::2, 1::2] + w[1::2, 1::2] * at(pSf, -1, 0) + s[1::2, 1::2] * at(pWf, 0, -1)
+    vSE = ase[1::2, 1::2] + e[1::2, 1::2] * at(pSf, +1, 0) + s[1::2, 1::2] * at(pEf, 0, -1)
+    vNW = anw[1::2, 1::2] + w[1::2, 1::2] * at(pNf, -1, 0) + n[1::2, 1::2] * at(pWf, 0, +1)
+    vNE = ane[1::2, 1::2] + e[1::2, 1::2] * at(pNf, +1, 0) + n[1::2, 1::2] * at(pEf, 0, +1)
 
     shape = (Nc, Mc)
     return BoxTransfer(
@@ -289,7 +299,12 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
     cur = op
     while True:
         shape = cur.aC.shape
-        done = len(levels) + 1 >= MAX_LEVELS or max(shape) <= COARSEST
+        # stop on the MIN dimension: collapsing below ~4 cells in either
+        # direction produces empty odd-index slices (and at 1-wide levels,
+        # degenerate gathers that crash XLA:CPU with heap corruption);
+        # anisotropic grids therefore get a larger coarsest level, which the
+        # RB coarse sweeps + PCG absorb
+        done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST
         tr = None if done else collapse_weights(cur)
         levels.append(BoxLevel(op=cur, red=_checkerboard(shape, dtype), tr=tr))
         if done:

@@ -53,7 +53,12 @@ def build_precond_levels(op: StencilOp, precond: str, precond_dtype=None):
             op, **{f.name: getattr(op, f.name).astype(precond_dtype)
                    for f in _dc.fields(op)}
         )
-    return mg_impl.build_hierarchy(op)
+    # always build under jit: inside a jitted solver this inlines, and the
+    # eager path (trace-time constant builds, tests) avoids an XLA:CPU
+    # heap-corruption bug hit by the boxmg setup's eager op-by-op dispatch
+    import jax
+
+    return jax.jit(mg_impl.build_hierarchy)(op)
 
 
 def solve_pcg(

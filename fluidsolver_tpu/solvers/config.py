@@ -47,6 +47,13 @@ class SolverConfig:
     # so solution quality is identical to the reference's always-cold start
     # (src/LinearSolver_StructHypre.hpp:123-127) — just fewer iterations.
     pressure_warm_start: bool = True
+    # MG-hierarchy refresh policy for the two-phase solver: "solve" rebuilds
+    # inside every subiteration's solve (exact operator/preconditioner
+    # alignment); "step" builds ONCE per step from the first subiteration's
+    # exact transported densities and reuses it for the remaining
+    # subiterations (their densities differ only by successive CN fixed-point
+    # increments) — 5x less setup at a small iteration penalty.
+    pressure_precond_refresh: str = "solve"
     # run the MG V-cycle preconditioner in lower precision (e.g. "bfloat16"):
     # the V-cycle is HBM-bandwidth-bound, so halving the bytes nearly halves
     # its cost; the preconditioner stays a fixed SPD-to-rounding map.

@@ -71,7 +71,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
     rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
     gx, gy = cfg.gravity
 
-    def subiter(fs: FlowState, dp_prev, vof_state, dt, t, levels=None):
+    def subiter(fs: FlowState, dp_prev, vof_state, dt, t, k=None, levels_carry=None):
         vf_old, rec, curv, iface_len, m_dot_A = vof_state
 
         U = stencil.mid_time(fs.U, fs.U_old)
@@ -143,6 +143,16 @@ def make_step(grid: Grid, cfg: SolverConfig):
             div = div.at[1:-1, 1:-1].add(-src)
 
         fs = dataclasses.replace(fs, rho_u=rho_u, rho_v=rho_v, p_jump_u=pj_u_new, p_jump_v=pj_v_new)
+        if levels_carry is not None:
+            # per-step refresh: build from THIS subiteration's transported
+            # densities on the first pass, reuse the hierarchy afterwards
+            levels = jax.lax.cond(
+                k == 0,
+                lambda: incomp.build_step_levels(rho_u, rho_v, grid, cfg),
+                lambda: levels_carry,
+            )
+        else:
+            levels = None
         delta_p, rel, iters = incomp.pressure_solve(
             fs, div, dt, grid, cfg,
             x0=dp_prev if cfg.pressure_warm_start else None,
@@ -151,9 +161,12 @@ def make_step(grid: Grid, cfg: SolverConfig):
         p = fs.p + delta_p
         U, V = incomp.project_velocity(U, V, delta_p, rho_u, rho_v, dt, grid.dx, grid.dy)
 
-        return dataclasses.replace(
+        fs_out = dataclasses.replace(
             fs, U=U, V=V, p=p, p_res=rel, p_iter=fs.p_iter + iters
-        ), delta_p
+        )
+        if levels_carry is not None:
+            return fs_out, delta_p, levels
+        return fs_out, delta_p
 
     @jax.jit
     def step(state: TwoPhaseState, t_end) -> TwoPhaseState:
@@ -227,19 +240,33 @@ def make_step(grid: Grid, cfg: SolverConfig):
         dp0 = jnp.zeros_like(fs.p)
 
         def do_subiters(f):
-            # NOTE: the MG hierarchy is rebuilt fresh inside every
-            # subiteration's solve (levels=None). Hoisting one hierarchy out
-            # of the loop was measured 1.8-2.6x WORSE in PCG iterations on a
-            # 1000:1 gravity drop: for strong jumps the preconditioner must
-            # align exactly with the flux-transported rho of the current
-            # subiteration — even the end-of-step PLIC-mixed rho estimate is
-            # off by enough in mixed cells to double the iteration count.
+            # Hierarchy freshness matters at 1000:1 jumps: a preconditioner
+            # built from step-START rho (or even the end-of-step PLIC-mixed
+            # rho) measured 1.8-2.6x MORE PCG iterations than per-solve
+            # rebuilds — alignment with the flux-transported rho of the
+            # current subiteration dominates. Two supported policies:
+            #   "solve": rebuild inside every solve (exact alignment);
+            #   "step":  build once inside subiteration 0 from its exact
+            #            transported rho, reuse for the rest (5x less setup).
+            vof_state = (vf_old, rec, curv, iface_len, m_dot_A)
+            if cfg.pressure_precond_refresh == "step":
+                shapes = jax.eval_shape(
+                    lambda ru, rv: incomp.build_step_levels(ru, rv, grid, cfg),
+                    f.rho_u, f.rho_v,
+                )
+                zeros = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+                return jax.lax.fori_loop(
+                    0, cfg.num_subiter,
+                    lambda k, c: subiter(
+                        c[0], c[1], vof_state, dt, c[0].t, k, c[2]
+                    ),
+                    (f, dp0, zeros),
+                )[0]
             return jax.lax.fori_loop(
                 0, cfg.num_subiter,
-                lambda _, c: subiter(
-                    c[0], c[1], (vf_old, rec, curv, iface_len, m_dot_A),
-                    dt, c[0].t, None,
-                ),
+                lambda _, c: subiter(c[0], c[1], vof_state, dt, c[0].t),
                 (f, dp0),
             )[0]
 
