@@ -331,9 +331,28 @@ def _rb_sweep(level: BoxLevel, x, b, reverse=False):
     return x
 
 
+import os
+
+# Fused temporally-blocked smoothing (pallas_vcycle.fused_smooth): one HBM
+# pass for a whole smoothing phase + residual instead of one pass per
+# half-sweep. Opt-in until validated on real TPU hardware.
+_USE_PALLAS_VC = os.environ.get("FS_PALLAS_VCYCLE", "0") == "1"
+
+
+def _fused_ok(level: BoxLevel, b) -> bool:
+    if not (_USE_PALLAS_VC and isinstance(level.op, StencilOp)):
+        return False
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    return pv.available(b.shape, b.dtype)
+
+
 def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
             n_post: int = 1) -> jnp.ndarray:
     """One symmetric V(n_pre, n_post) cycle from a zero initial guess."""
+    import jax
+
+    interp = jax.default_backend() != "tpu"
 
     def cycle(lvl, b_l):
         level = levels[lvl]
@@ -343,6 +362,19 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
                 x = _rb_sweep(level, x, b_l)
                 x = _rb_sweep(level, x, b_l, reverse=True)
             return x
+        if _fused_ok(level, b_l):
+            from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+            x, r = pv.fused_smooth(
+                level.op, b_l, colors=(True, False) * n_pre,
+                residual=True, interpret=interp,
+            )
+            ec = cycle(lvl + 1, restrict_box(level.tr, r))
+            x = x + prolong_box(level.tr, ec, b_l.shape)
+            return pv.fused_smooth(
+                level.op, b_l, x0=x, colors=(False, True) * n_post,
+                interpret=interp,
+            )
         for _ in range(n_pre):
             x = _rb_sweep(level, x, b_l)
         r = b_l - apply_any(level.op, x)

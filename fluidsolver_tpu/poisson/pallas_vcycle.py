@@ -1,0 +1,195 @@
+"""Pallas TPU kernels: temporally-blocked red-black smoothing.
+
+The V-cycle's cost is HBM traffic: in XLA each red/black half-sweep is its
+own pass over (aC..aT, b, x), so a V(2,2) level visit moves ~35 array-passes
+(4 half-steps per smoothing phase + residual). ``fused_smooth`` fuses an
+entire smoothing phase — all half-steps plus (optionally) the residual —
+into ONE pass: each coefficient band is DMA'd to VMEM once, every half-step
+runs on-chip, and only the results stream back.
+
+Correctness uses trapezoidal (overlapped-band) blocking: each band is
+loaded with an H-deep halo, H = number of half-steps (+1 when the residual
+is computed). Every half-step invalidates one more halo ring; the interior
+rows written back are exact — identical arithmetic to the unfused XLA
+color updates in boxmg._rb_sweep (validated in tests via interpret mode).
+
+Scope: 5-point levels (the finest one-two levels of poisson/boxmg.py
+hierarchies, where nearly all the traffic lives). Falls back implicitly —
+callers use it only when ``available()`` says the shape/backend qualify.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _shift_in(x, di, dj):
+    """x[i+di, j+dj] with zero fill (Mosaic-safe: roll + iota mask)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = x.shape
+    out = x
+    if di:
+        out = pltpu.roll(out, (-di) % n, 0)  # roll requires shift >= 0
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        keep = (ii + di >= 0) & (ii + di < n)
+        out = jnp.where(keep, out, 0.0)
+    if dj:
+        out = pltpu.roll(out, (-dj) % m, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        keep = (jj + dj >= 0) & (jj + dj < m)
+        out = jnp.where(keep, out, 0.0)
+    return out
+
+
+def _apply5(aC, aL, aR, aB, aT, x):
+    return (
+        aC * x
+        + aL * _shift_in(x, -1, 0) + aR * _shift_in(x, 1, 0)
+        + aB * _shift_in(x, 0, -1) + aT * _shift_in(x, 0, 1)
+    )
+
+
+def _make_kernel(colors, residual, has_x0, N_pad, M, B, H, W, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_in = 6 + (1 if has_x0 else 0)
+    n_out = 2 if residual else 1
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + n_out]
+        scratch = refs[n_in + n_out]      # (n_in, W, M) VMEM
+        out_buf = refs[n_in + n_out + 1]  # (n_out, B, M) VMEM
+        sem_in = refs[n_in + n_out + 2]
+        sem_out = refs[n_in + n_out + 3]
+
+        band = pl.program_id(0)
+        row0 = band * B
+        start = jnp.clip(row0 - H, 0, N_pad - W)
+
+        dmas = [
+            pltpu.make_async_copy(
+                ins[i].at[pl.ds(start, W), :], scratch.at[i], sem_in.at[i]
+            )
+            for i in range(n_in)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+        aC = scratch[0]
+        aL = scratch[1]
+        aR = scratch[2]
+        aB = scratch[3]
+        aT = scratch[4]
+        b = scratch[5]
+        x = scratch[6] if has_x0 else jnp.zeros((W, M), dtype)
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + start
+        jj = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
+        red = (((ii + jj) % 2) == 0).astype(dtype)
+        aC_safe = jnp.where(aC == 0.0, 1.0, aC)
+
+        for want_red in colors:
+            ax_off = _apply5(aC, aL, aR, aB, aT, x) - aC * x
+            x_new = (b - ax_off) / aC_safe
+            mask = red if want_red else 1.0 - red
+            x = jnp.where(mask > 0.5, x_new, x)
+
+        off = (row0 - start).astype(jnp.int32)
+        zero = jnp.int32(0)
+        out_buf[0] = jax.lax.dynamic_slice(x, (off, zero), (B, M))
+        if residual:
+            r = b - _apply5(aC, aL, aR, aB, aT, x)
+            out_buf[1] = jax.lax.dynamic_slice(r, (off, zero), (B, M))
+
+        outs_dma = [
+            pltpu.make_async_copy(
+                out_buf.at[k], outs[k].at[pl.ds(row0, B), :], sem_out.at[k]
+            )
+            for k in range(n_out)
+        ]
+        for d in outs_dma:
+            d.start()
+        for d in outs_dma:
+            d.wait()
+
+    return kernel, n_in, n_out
+
+
+def _pick_band(N_pad, M, n_arrays, itemsize, H):
+    B = 512
+    while B > 8:
+        if B < N_pad and (B + 2 * H) * M * (n_arrays + 2) * itemsize < VMEM_BUDGET_BYTES:
+            return B
+        B //= 2
+    return 8
+
+
+def available(shape, dtype) -> bool:
+    """Shape qualifies for the banded kernel (needs >= 2 bands of 8)."""
+    return shape[0] >= 32 and shape[1] >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("colors", "residual", "interpret"))
+def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
+    """Run ``colors`` (tuple of bools: True = red half-step) starting from
+    ``x0`` (or zero); optionally also return r = b - A x. One HBM pass,
+    exactly equivalent to chaining boxmg._rb_sweep color updates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, M = b.shape
+    dtype = b.dtype
+    H = len(colors) + (1 if residual else 0)
+    has_x0 = x0 is not None
+    n_arrays = 6 + (1 if has_x0 else 0)
+
+    # pad rows to a whole number of bands; padded rows carry aC=0 (inert:
+    # their updates read b=0 -> x stays 0, matching XLA's zero-fill shifts)
+    B = _pick_band(N + 2 * H, M, n_arrays, jnp.dtype(dtype).itemsize, H)
+    n_bands = -(-N // B)
+    N_pad = max(n_bands * B, B + 2 * H)
+    n_bands = N_pad // B
+
+    def pad_rows(a):
+        return a if a.shape[0] == N_pad else jnp.pad(a, ((0, N_pad - a.shape[0]), (0, 0)))
+
+    W = B + 2 * H
+    kernel, n_in, n_out = _make_kernel(
+        tuple(colors), residual, has_x0, N_pad, M, B, H, W, dtype
+    )
+
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((N_pad, M), dtype) for _ in range(n_out)
+    )
+    args = [op.aC, op.aL, op.aR, op.aB, op.aT, b] + ([x0] if has_x0 else [])
+    args = [pad_rows(a) for a in args]
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        out_shape=out_shapes,
+        in_specs=[hbm] * n_in,
+        out_specs=tuple([hbm] * n_out),
+        scratch_shapes=[
+            pltpu.VMEM((n_in, W, M), dtype),
+            pltpu.VMEM((n_out, B, M), dtype),
+            pltpu.SemaphoreType.DMA((n_in,)),
+            pltpu.SemaphoreType.DMA((n_out,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    if residual:
+        return res[0][:N], res[1][:N]
+    return res[0][:N]
