@@ -340,7 +340,14 @@ _USE_PALLAS_VC = os.environ.get("FS_PALLAS_VCYCLE", "0") == "1"
 
 
 def _fused_ok(level: BoxLevel, b) -> bool:
-    if not (_USE_PALLAS_VC and isinstance(level.op, StencilOp)):
+    if not _USE_PALLAS_VC:
+        return False
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # interpret-mode Pallas under jit is slow and is NOT the production
+        # path; CPU runs use the XLA sweeps (the kernels themselves are
+        # validated on CPU eagerly via interpret=True in tests)
         return False
     from fluidsolver_tpu.poisson import pallas_vcycle as pv
 
@@ -350,9 +357,6 @@ def _fused_ok(level: BoxLevel, b) -> bool:
 def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
             n_post: int = 1) -> jnp.ndarray:
     """One symmetric V(n_pre, n_post) cycle from a zero initial guess."""
-    import jax
-
-    interp = jax.default_backend() != "tpu"
 
     def cycle(lvl, b_l):
         level = levels[lvl]
@@ -367,13 +371,12 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
 
             x, r = pv.fused_smooth(
                 level.op, b_l, colors=(True, False) * n_pre,
-                residual=True, interpret=interp,
+                residual=True,
             )
             ec = cycle(lvl + 1, restrict_box(level.tr, r))
             x = x + prolong_box(level.tr, ec, b_l.shape)
             return pv.fused_smooth(
                 level.op, b_l, x0=x, colors=(False, True) * n_post,
-                interpret=interp,
             )
         for _ in range(n_pre):
             x = _rb_sweep(level, x, b_l)

@@ -13,9 +13,8 @@ is computed). Every half-step invalidates one more halo ring; the interior
 rows written back are exact — identical arithmetic to the unfused XLA
 color updates in boxmg._rb_sweep (validated in tests via interpret mode).
 
-Scope: 5-point levels (the finest one-two levels of poisson/boxmg.py
-hierarchies, where nearly all the traffic lives). Falls back implicitly —
-callers use it only when ``available()`` says the shape/backend qualify.
+Scope: 5-point (finest) and 9-point (Galerkin-coarsened) levels of
+poisson/boxmg.py hierarchies. Callers gate on ``available()``.
 """
 
 from __future__ import annotations
@@ -47,19 +46,30 @@ def _shift_in(x, di, dj):
     return out
 
 
-def _apply5(aC, aL, aR, aB, aT, x):
-    return (
+def _apply_coefs(coefs, x):
+    """Apply a 5- or 9-coefficient stencil (order matches linsys.apply_op /
+    boxmg.apply_op9) to the in-VMEM window."""
+    aC, aL, aR, aB, aT = coefs[:5]
+    out = (
         aC * x
         + aL * _shift_in(x, -1, 0) + aR * _shift_in(x, 1, 0)
         + aB * _shift_in(x, 0, -1) + aT * _shift_in(x, 0, 1)
     )
+    if len(coefs) == 9:
+        aSW, aSE, aNW, aNE = coefs[5:]
+        out = (
+            out
+            + aSW * _shift_in(x, -1, -1) + aSE * _shift_in(x, 1, -1)
+            + aNW * _shift_in(x, -1, 1) + aNE * _shift_in(x, 1, 1)
+        )
+    return out
 
 
-def _make_kernel(colors, residual, has_x0, N_pad, M, B, H, W, dtype):
+def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_in = 6 + (1 if has_x0 else 0)
+    n_in = ncoef + 1 + (1 if has_x0 else 0)
     n_out = 2 if residual else 1
 
     def kernel(*refs):
@@ -85,13 +95,10 @@ def _make_kernel(colors, residual, has_x0, N_pad, M, B, H, W, dtype):
         for d in dmas:
             d.wait()
 
-        aC = scratch[0]
-        aL = scratch[1]
-        aR = scratch[2]
-        aB = scratch[3]
-        aT = scratch[4]
-        b = scratch[5]
-        x = scratch[6] if has_x0 else jnp.zeros((W, M), dtype)
+        coefs = tuple(scratch[i] for i in range(ncoef))
+        aC = coefs[0]
+        b = scratch[ncoef]
+        x = scratch[ncoef + 1] if has_x0 else jnp.zeros((W, M), dtype)
 
         ii = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + start
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
@@ -99,21 +106,23 @@ def _make_kernel(colors, residual, has_x0, N_pad, M, B, H, W, dtype):
         aC_safe = jnp.where(aC == 0.0, 1.0, aC)
 
         for want_red in colors:
-            ax_off = _apply5(aC, aL, aR, aB, aT, x) - aC * x
+            ax_off = _apply_coefs(coefs, x) - aC * x
             x_new = (b - ax_off) / aC_safe
             mask = red if want_red else 1.0 - red
             x = jnp.where(mask > 0.5, x_new, x)
 
-        off = (row0 - start).astype(jnp.int32)
-        zero = jnp.int32(0)
-        out_buf[0] = jax.lax.dynamic_slice(x, (off, zero), (B, M))
+        # Mosaic has no dynamic_slice on values: stage the full window in
+        # VMEM and let the DMA engine do the (ref-level) dynamic slicing
+        off = row0 - start
+        out_buf[0] = x
         if residual:
-            r = b - _apply5(aC, aL, aR, aB, aT, x)
-            out_buf[1] = jax.lax.dynamic_slice(r, (off, zero), (B, M))
+            out_buf[1] = b - _apply_coefs(coefs, x)
 
         outs_dma = [
             pltpu.make_async_copy(
-                out_buf.at[k], outs[k].at[pl.ds(row0, B), :], sem_out.at[k]
+                out_buf.at[k].at[pl.ds(off, B), :],
+                outs[k].at[pl.ds(row0, B), :],
+                sem_out.at[k],
             )
             for k in range(n_out)
         ]
@@ -151,7 +160,9 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
     dtype = b.dtype
     H = len(colors) + (1 if residual else 0)
     has_x0 = x0 is not None
-    n_arrays = 6 + (1 if has_x0 else 0)
+    is9 = hasattr(op, "aSW")
+    ncoef = 9 if is9 else 5
+    n_arrays = ncoef + 1 + (1 if has_x0 else 0)
 
     # pad rows to a whole number of bands; padded rows carry aC=0 (inert:
     # their updates read b=0 -> x stays 0, matching XLA's zero-fill shifts)
@@ -165,14 +176,17 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
 
     W = B + 2 * H
     kernel, n_in, n_out = _make_kernel(
-        tuple(colors), residual, has_x0, N_pad, M, B, H, W, dtype
+        tuple(colors), residual, has_x0, ncoef, N_pad, M, B, H, W, dtype
     )
 
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((N_pad, M), dtype) for _ in range(n_out)
     )
-    args = [op.aC, op.aL, op.aR, op.aB, op.aT, b] + ([x0] if has_x0 else [])
+    coef_arrays = [op.aC, op.aL, op.aR, op.aB, op.aT]
+    if is9:
+        coef_arrays += [op.aSW, op.aSE, op.aNW, op.aNE]
+    args = coef_arrays + [b] + ([x0] if has_x0 else [])
     args = [pad_rows(a) for a in args]
 
     res = pl.pallas_call(
@@ -183,7 +197,7 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
         out_specs=tuple([hbm] * n_out),
         scratch_shapes=[
             pltpu.VMEM((n_in, W, M), dtype),
-            pltpu.VMEM((n_out, B, M), dtype),
+            pltpu.VMEM((n_out, W, M), dtype),
             pltpu.SemaphoreType.DMA((n_in,)),
             pltpu.SemaphoreType.DMA((n_out,)),
         ],
