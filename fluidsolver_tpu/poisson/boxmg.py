@@ -19,12 +19,14 @@ Measured (numpy prototype, 1000:1 drop, tol 1e-10, V(1,1)-PCG):
     128        49          11
     256        67          12     <- h-independent
 
-The coarse operator is built by comb probing: for a 9-point A_c, coarse
-points with indices equal mod 3 are never coupled, so 9 sweeps of
-R(A(P(comb_{a,b}))) recover every stencil entry exactly — no sparse algebra,
-just dense stencil applications (setup ~27 fine-grid sweeps per level, all
-fused elementwise XLA; HYPRE pays a comparable PFMG setup,
-src/LinearSolver_StructHypre.hpp:217-237).
+The coarse operator is built in closed form (galerkin_closed): P has <= 4
+entries per fine parity class and A has <= 9 offsets, so every Galerkin
+coupling is a finite sum of parity-sliced triple products — fused
+elementwise XLA reading each array O(1) times. A comb-probing construction
+(galerkin_boxmg: coarse points with indices equal mod 3 are never coupled
+in a 9-point A_c, so nine R(A(P(comb))) probes recover every entry) is kept
+as the independently-derived oracle the closed form is tested against.
+HYPRE pays a comparable PFMG setup, src/LinearSolver_StructHypre.hpp:217-237.
 
 Replaces: HYPRE StructPCG+PFMG (reference default,
 src/LinearSolver_StructHypre.hpp:31-32) — same role, stronger convergence.
@@ -285,6 +287,118 @@ def galerkin_boxmg(op, tr: BoxTransfer, fine_shape) -> Stencil9:
     )
 
 
+# ---- closed-form Galerkin product ------------------------------------------
+# A_c = P^T A P enumerated symbolically: P has <= 4 entries per fine-parity
+# class, A has 5 or 9 offsets, so every coarse coupling is a finite sum of
+# triple products  w1 * a * w2  sampled at affine positions in the coarse
+# index — pure parity-strided slices + fused elementwise math. Equivalent to
+# (and tested against) the comb probing in galerkin_boxmg, but reads each
+# array O(1) times instead of once per probe (~6x less setup traffic).
+
+# P entries per fine parity (a, b): (sI, sJ, weight_name)
+#   fine (2k+a, 2l+b) <- coarse (k+sI, l+sJ) with weight W[k, l]
+_P_ENTRIES = {
+    (0, 0): [(0, 0, "one")],
+    (1, 0): [(0, 0, "pW"), (1, 0, "pE")],
+    (0, 1): [(0, 0, "pS"), (0, 1, "pN")],
+    (1, 1): [(0, 0, "pSW"), (1, 0, "pSE"), (0, 1, "pNW"), (1, 1, "pNE")],
+}
+_A_OFFSETS = {
+    "aC": (0, 0), "aL": (-1, 0), "aR": (1, 0), "aB": (0, -1), "aT": (0, 1),
+    "aSW": (-1, -1), "aSE": (1, -1), "aNW": (-1, 1), "aNE": (1, 1),
+}
+_OFF_NAME = {v: k for k, v in _A_OFFSETS.items()}
+
+
+def _enumerate_rap_terms(ncoef):
+    """Terms for A_c[(K,L) -> (K+DK, L+DL)]: list keyed by (DK, DL) of
+    (w1_name, g1, d1, a_name, alpha, beta, w2_name, g2, d2) where weights
+    are sampled at coarse (K+g, L+d) and the operator at fine
+    (2K+alpha, 2L+beta)."""
+    names = list(_A_OFFSETS)[:ncoef]
+    out = {}
+    for (a1, b1), entries1 in _P_ENTRIES.items():
+        for s1I, s1J, w1 in entries1:
+            # column constraint: coarse (K, L) => k_f = K - s1I, l_f = L - s1J
+            for a_name in names:
+                di, dj = _A_OFFSETS[a_name]
+                a2, b2 = (a1 + di) % 2, (b1 + dj) % 2
+                for s2I, s2J, w2 in _P_ENTRIES[(a2, b2)]:
+                    g1, d1 = -s1I, -s1J
+                    alpha, beta = a1 - 2 * s1I, b1 - 2 * s1J
+                    g2 = -s1I + (a1 + di - a2) // 2
+                    d2 = -s1J + (b1 + dj - b2) // 2
+                    DK, DL = g2 + s2I, d2 + s2J
+                    out.setdefault((DK, DL), []).append(
+                        (w1, g1, d1, a_name, alpha, beta, w2, g2, d2)
+                    )
+    return out
+
+
+def galerkin_closed(op, tr: BoxTransfer, fine_shape) -> Stencil9:
+    """Closed-form A_c = P^T A P (same result as galerkin_boxmg)."""
+    N, M = fine_shape
+    Nc, Mc = (N + 1) // 2, (M + 1) // 2
+    ncoef = 9 if isinstance(op, Stencil9) else 5
+    dtype = op.aC.dtype
+
+    # pre-padded sources so every affine sample is a plain strided slice
+    fine_pad = {
+        name: jnp.pad(getattr(op, name), 2)
+        for name in list(_A_OFFSETS)[:ncoef]
+    }
+    w_arrays = {name: getattr(tr, name) for name in
+                ("pW", "pE", "pS", "pN", "pSW", "pSE", "pNW", "pNE")}
+    coarse_pad = {name: jnp.pad(a, 1) for name, a in w_arrays.items()}
+
+    fine_cache = {}
+
+    def fine_at(name, alpha, beta):
+        key = (name, alpha, beta)
+        if key not in fine_cache:
+            a = fine_pad[name]
+            fine_cache[key] = a[2 + alpha::2][:Nc, 2 + beta::2][:, :Mc]
+        return fine_cache[key]
+
+    coarse_cache = {}
+
+    def coarse_at(name, g, d):
+        if name == "one":
+            return None  # weight 1
+        key = (name, g, d)
+        if key not in coarse_cache:
+            a = coarse_pad[name]
+            coarse_cache[key] = a[1 + g:1 + g + Nc, 1 + d:1 + d + Mc]
+        return coarse_cache[key]
+
+    terms = _enumerate_rap_terms(ncoef)
+    I = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
+    J = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
+
+    coefs = {}
+    for (DK, DL), ts in terms.items():
+        acc = jnp.zeros((Nc, Mc), dtype)
+        for (w1, g1, d1, a_name, alpha, beta, w2, g2, d2) in ts:
+            v = fine_at(a_name, alpha, beta)
+            c1 = coarse_at(w1, g1, d1)
+            if c1 is not None:
+                v = v * c1
+            c2 = coarse_at(w2, g2, d2)
+            if c2 is not None:
+                v = v * c2
+            acc = acc + v
+        valid = (I + DK >= 0) & (I + DK < Nc) & (J + DL >= 0) & (J + DL < Mc)
+        coefs[(DK, DL)] = jnp.where(valid, acc, 0.0)
+
+    return Stencil9(
+        aC=coefs[(0, 0)],
+        aL=coefs[(-1, 0)], aR=coefs[(1, 0)],
+        aB=coefs[(0, -1)], aT=coefs[(0, 1)],
+        aSW=coefs[(-1, -1)], aSE=coefs[(1, -1)],
+        aNW=coefs[(-1, 1)], aNE=coefs[(1, 1)],
+    )
+
+
 def _checkerboard(shape, dtype):
     ii = lax.broadcasted_iota(jnp.int32, shape, 0)
     jj = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -309,7 +423,7 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
         levels.append(BoxLevel(op=cur, red=_checkerboard(shape, dtype), tr=tr))
         if done:
             return levels
-        cur = galerkin_boxmg(cur, tr, shape)
+        cur = galerkin_closed(cur, tr, shape)
 
 
 def _rb_sweep(level: BoxLevel, x, b, reverse=False):

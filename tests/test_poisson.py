@@ -251,6 +251,31 @@ def test_boxmg_galerkin_exact_vs_dense():
     np.testing.assert_allclose(R, P.T, rtol=1e-12, atol=1e-12)
 
 
+def test_boxmg_closed_form_equals_probing():
+    # the production closed-form Galerkin product must equal comb probing
+    # exactly, for 5-point and 9-point inputs, odd/even shapes, pinned or not
+    from fluidsolver_tpu.poisson import boxmg
+
+    for nx, ny, pin in [(10, 6, None), (9, 7, "right"), (31, 30, None)]:
+        g, rho_u, rho_v, op = _system(nx, ny, pin=pin, two_phase=True)
+        tr = boxmg.collapse_weights(op)
+        probe = boxmg.galerkin_boxmg(op, tr, op.aC.shape)
+        closed = boxmg.galerkin_closed(op, tr, op.aC.shape)
+        for f in ("aC", "aL", "aR", "aB", "aT", "aSW", "aSE", "aNW", "aNE"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(closed, f)), np.asarray(getattr(probe, f)),
+                atol=1e-12, err_msg=f"{nx}x{ny} pin={pin} 5pt {f}",
+            )
+        tr2 = boxmg.collapse_weights(probe)
+        probe2 = boxmg.galerkin_boxmg(probe, tr2, probe.aC.shape)
+        closed2 = boxmg.galerkin_closed(probe, tr2, probe.aC.shape)
+        for f in ("aC", "aL", "aR", "aB", "aT", "aSW", "aSE", "aNW", "aNE"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(closed2, f)), np.asarray(getattr(probe2, f)),
+                atol=1e-12, err_msg=f"{nx}x{ny} pin={pin} 9pt {f}",
+            )
+
+
 def test_pcg_warm_start():
     # a perfect guess must converge (near-)immediately; a garbage guess must
     # be discarded by the ||b - A x0|| > ||b|| guard and cost nothing
