@@ -476,10 +476,13 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
         level = levels[lvl]
         x = jnp.zeros_like(b_l)
         if lvl == len(levels) - 1:
-            for _ in range(COARSE_SWEEPS // 2):
+            # fori_loop, not unrolled: 32 sweep pairs of 9-point color
+            # updates would otherwise dominate the whole solver's XLA graph
+            def pair(_, x):
                 x = _rb_sweep(level, x, b_l)
-                x = _rb_sweep(level, x, b_l, reverse=True)
-            return x
+                return _rb_sweep(level, x, b_l, reverse=True)
+
+            return lax.fori_loop(0, COARSE_SWEEPS // 2, pair, x)
         if _fused_ok(level, b_l):
             from fluidsolver_tpu.poisson import pallas_vcycle as pv
 

@@ -281,10 +281,14 @@ def v_cycle(
         x = jnp.zeros_like(b_l)
         if lvl == len(levels) - 1:
             # symmetric coarse solve: forward/backward sweep pairs
-            for _ in range(COARSE_SWEEPS // 2):
+            # (fori_loop keeps the XLA graph small)
+            import jax
+
+            def pair(_, x):
                 x = _rb_sweep(level, x, b_l)
-                x = _rb_sweep(level, x, b_l, reverse=True)
-            return x
+                return _rb_sweep(level, x, b_l, reverse=True)
+
+            return jax.lax.fori_loop(0, COARSE_SWEEPS // 2, pair, x)
         for _ in range(n_pre):
             x = _rb_sweep(level, x, b_l)
         r = b_l - apply_op(level.op, x)
