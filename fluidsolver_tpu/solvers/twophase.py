@@ -35,6 +35,16 @@ from fluidsolver_tpu.vof import advect as adv
 from fluidsolver_tpu.vof import plic
 from fluidsolver_tpu.vof.curvature import curvature_quad_volume_matching
 
+import os
+
+
+def _use_pallas_momentum() -> bool:
+    """Fused Pallas momentum stage: opt-in (FS_PALLAS_MOMENTUM=1) on the
+    TPU backend until its hardware win is quantified."""
+    if os.environ.get("FS_PALLAS_MOMENTUM", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 @register_pytree_dataclass
 @dataclasses.dataclass
@@ -77,24 +87,39 @@ def make_step(grid: Grid, cfg: SolverConfig):
         U = stencil.mid_time(fs.U, fs.U_old)
         V = stencil.mid_time(fs.V, fs.V_old)
 
-        # consistent density transport (TwoPhaseSolver.cpp:287-295)
-        drho_u, drho_v = mom.calc_drhodt(U, V, fs.rho_u_old, fs.rho_v_old, grid.dx, grid.dy, rho_eps)
-        rho_u, rho_v = mom.update_density(fs.rho_u_old, fs.rho_v_old, drho_u, drho_v, dt, fs.rho_u, fs.rho_v)
-        rho_u = bc_mod.apply_neumann_scalar(rho_u)
-        rho_v = bc_mod.apply_neumann_scalar(rho_v)
+        if _use_pallas_momentum():
+            # one banded Pallas pass for the whole momentum stage
+            # (ops/pallas_momentum.py — identical math, single HBM read of
+            # the shared fields); gravity interior add is equivalent before
+            # or after the Neumann ghost fill
+            from fluidsolver_tpu.ops.pallas_momentum import fused_momentum
 
-        # momentum (TwoPhaseSolver.cpp:298-306) + gravity (RisingBubble.cpp:453-455)
-        dmomU, dmomV = mom.calc_dmomdt(
-            U, V, fs.rho_u_old, fs.rho_v_old, fs.visc, fs.p,
-            fs.p_jump_u, fs.p_jump_v, grid.dx, grid.dy, rho_eps,
-        )
-        if gx != 0.0:
-            dmomU = dmomU.at[1:-1, 1:-1].add(rho_u[1:-1, 1:-1] * gx)
-        if gy != 0.0:
-            dmomV = dmomV.at[1:-1, 1:-1].add(rho_v[1:-1, 1:-1] * gy)
-        U, V = mom.update_velocity(
-            fs.U_old, fs.V_old, fs.rho_u_old, fs.rho_v_old, rho_u, rho_v, dmomU, dmomV, dt, U, V
-        )
+            rho_u, rho_v, U, V = fused_momentum(
+                U, V, fs.U_old, fs.V_old, fs.rho_u_old, fs.rho_v_old,
+                fs.rho_u, fs.rho_v, fs.visc, fs.p, fs.p_jump_u, fs.p_jump_v,
+                dt, dx=grid.dx, dy=grid.dy, rho_eps=rho_eps, gx=gx, gy=gy,
+            )
+            rho_u = bc_mod.apply_neumann_scalar(rho_u)
+            rho_v = bc_mod.apply_neumann_scalar(rho_v)
+        else:
+            # consistent density transport (TwoPhaseSolver.cpp:287-295)
+            drho_u, drho_v = mom.calc_drhodt(U, V, fs.rho_u_old, fs.rho_v_old, grid.dx, grid.dy, rho_eps)
+            rho_u, rho_v = mom.update_density(fs.rho_u_old, fs.rho_v_old, drho_u, drho_v, dt, fs.rho_u, fs.rho_v)
+            rho_u = bc_mod.apply_neumann_scalar(rho_u)
+            rho_v = bc_mod.apply_neumann_scalar(rho_v)
+
+            # momentum (TwoPhaseSolver.cpp:298-306) + gravity (RisingBubble.cpp:453-455)
+            dmomU, dmomV = mom.calc_dmomdt(
+                U, V, fs.rho_u_old, fs.rho_v_old, fs.visc, fs.p,
+                fs.p_jump_u, fs.p_jump_v, grid.dx, grid.dy, rho_eps,
+            )
+            if gx != 0.0:
+                dmomU = dmomU.at[1:-1, 1:-1].add(rho_u[1:-1, 1:-1] * gx)
+            if gy != 0.0:
+                dmomV = dmomV.at[1:-1, 1:-1].add(rho_v[1:-1, 1:-1] * gy)
+            U, V = mom.update_velocity(
+                fs.U_old, fs.V_old, fs.rho_u_old, fs.rho_v_old, rho_u, rho_v, dmomU, dmomV, dt, U, V
+            )
         U, V = bc_mod.apply_velocity_bcs(U, V, grid, cfg.bcs, t)
 
         if cfg.outflow_correction:
