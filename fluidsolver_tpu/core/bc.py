@@ -20,6 +20,7 @@ from typing import Callable, Union
 
 import jax.numpy as jnp
 
+from fluidsolver_tpu.core.fields import row_set
 from fluidsolver_tpu.core.grid import Grid
 
 BCValue = Union[float, Callable]
@@ -87,36 +88,36 @@ def apply_velocity_bcs(U: jnp.ndarray, V: jnp.ndarray, grid: Grid, bcs: FlowBCs,
     if isinstance(b, Dirichlet):
         ubc = _eval(b.u, ym, t)
         vbc = _eval(b.v, yf, t)
-        U = U.at[0, :].set(ubc).at[1, :].set(ubc)
-        V = V.at[0, :].set(2.0 * vbc - V[1, :])
+        U = row_set(row_set(U, 0, ubc), 1, ubc)
+        V = row_set(V, 0, 2.0 * vbc - V[1, :])
     elif isinstance(b, Neumann):
         g = jnp.minimum(U[1, :], 0.0) if b.clipped else U[1, :]
-        U = U.at[0, :].set(g)
-        V = V.at[0, :].set(V[1, :])
+        U = row_set(U, 0, g)
+        V = row_set(V, 0, V[1, :])
     elif isinstance(b, Periodic):
-        U = U.at[0, :].set(U[nx, :])
-        V = V.at[0, :].set(V[nx, :])
+        U = row_set(U, 0, U[nx, :])
+        V = row_set(V, 0, V[nx, :])
     elif isinstance(b, Symmetry):
-        U = U.at[0, :].set(-U[2, :]).at[1, :].set(0.0)
-        V = V.at[0, :].set(V[1, :])
+        U = row_set(row_set(U, 0, -U[2, :]), 1, 0.0)
+        V = row_set(V, 0, V[1, :])
 
     # ---- RIGHT (x = x_max) ------------------------------------------------
     b = bcs.right
     if isinstance(b, Dirichlet):
         ubc = _eval(b.u, ym, t)
         vbc = _eval(b.v, yf, t)
-        U = U.at[nx + 1, :].set(ubc).at[nx + 2, :].set(ubc)
-        V = V.at[nx + 1, :].set(2.0 * vbc - V[nx, :])
+        U = row_set(row_set(U, nx + 1, ubc), nx + 2, ubc)
+        V = row_set(V, nx + 1, 2.0 * vbc - V[nx, :])
     elif isinstance(b, Neumann):
         g = jnp.maximum(U[nx + 1, :], 0.0) if b.clipped else U[nx + 1, :]
-        U = U.at[nx + 2, :].set(g)
-        V = V.at[nx + 1, :].set(V[nx, :])
+        U = row_set(U, nx + 2, g)
+        V = row_set(V, nx + 1, V[nx, :])
     elif isinstance(b, Periodic):
-        U = U.at[nx + 2, :].set(U[2, :])
-        V = V.at[nx + 1, :].set(V[1, :])
+        U = row_set(U, nx + 2, U[2, :])
+        V = row_set(V, nx + 1, V[1, :])
     elif isinstance(b, Symmetry):
-        U = U.at[nx + 2, :].set(-U[nx, :]).at[nx + 1, :].set(0.0)
-        V = V.at[nx + 1, :].set(V[nx, :])
+        U = row_set(row_set(U, nx + 2, -U[nx, :]), nx + 1, 0.0)
+        V = row_set(V, nx + 1, V[nx, :])
 
     # ---- BOTTOM (y = y_min) -----------------------------------------------
     b = bcs.bottom
@@ -160,8 +161,8 @@ def apply_velocity_bcs(U: jnp.ndarray, V: jnp.ndarray, grid: Grid, bcs: FlowBCs,
 def apply_neumann_scalar(f: jnp.ndarray) -> jnp.ndarray:
     """Ghost ring := nearest interior value, x-direction first then y
     (corner semantics match src/BoundaryConditions.hpp:227-252)."""
-    f = f.at[0, :].set(f[1, :])
-    f = f.at[-1, :].set(f[-2, :])
+    f = row_set(f, 0, f[1, :])
+    f = row_set(f, -1, f[-2, :])
     f = f.at[:, 0].set(f[:, 1])
     f = f.at[:, -1].set(f[:, -2])
     return f
@@ -169,8 +170,8 @@ def apply_neumann_scalar(f: jnp.ndarray) -> jnp.ndarray:
 
 def apply_dirichlet_scalar(f: jnp.ndarray, value) -> jnp.ndarray:
     """Ghost ring := constant value (src/BoundaryConditions.hpp:255-280)."""
-    f = f.at[0, :].set(value)
-    f = f.at[-1, :].set(value)
+    f = row_set(f, 0, value)
+    f = row_set(f, -1, value)
     f = f.at[:, 0].set(value)
     f = f.at[:, -1].set(value)
     return f

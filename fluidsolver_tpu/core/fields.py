@@ -24,6 +24,35 @@ def register_pytree_dataclass(cls):
 
 
 # ---- constructors ---------------------------------------------------------
+def row_set(f: jnp.ndarray, i: int, value) -> jnp.ndarray:
+    """``f.at[i, :].set(value)`` expressed as iota+where.
+
+    Required for x-sharded multi-chip runs: XLA's SPMD partitioner
+    miscompiles a single-row dynamic-update-slice on a padded sharded
+    dimension (every shard writes its LOCAL edge row — verified on 8
+    virtual devices with a 51-row array). iota+where partitions exactly.
+    ``i`` must be a static Python int (may be negative).
+    """
+    n = f.shape[0]
+    i = i % n
+    ii = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    value = jnp.asarray(value, f.dtype)
+    if value.ndim == 1:
+        value = value[None, :]
+    return jnp.where(ii == i, value, f)
+
+
+def row_add(f: jnp.ndarray, i: int, value) -> jnp.ndarray:
+    """``f.at[i, :].add(value)`` — shard-safe (see row_set)."""
+    n = f.shape[0]
+    i = i % n
+    ii = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    value = jnp.asarray(value, f.dtype)
+    if value.ndim == 1:
+        value = value[None, :]
+    return jnp.where(ii == i, f + value, f)
+
+
 def zeros_center(grid: Grid, dtype=None) -> jnp.ndarray:
     return jnp.zeros(grid.shape_center, dtype=dtype)
 

@@ -284,4 +284,6 @@ def inflow_outflow(U, rho_u):
 
 def correct_outflow(U, rho_u, mass_error):
     ncols = U.shape[1]
-    return U.at[-1, :].add(-mass_error / (rho_u[-1, :] * ncols))
+    from fluidsolver_tpu.core.fields import row_add
+
+    return row_add(U, -1, -mass_error / (rho_u[-1, :] * ncols))

@@ -66,8 +66,10 @@ def grad_centered(f: jnp.ndarray, dx: float, dy: float):
     dfdy = jnp.zeros_like(f)
 
     dfdx = dfdx.at[1:-1, :].set((f[2:, :] - f[:-2, :]) / (2.0 * dx))
-    dfdx = dfdx.at[0, :].set((-3.0 * f[0, :] + 4.0 * f[1, :] - f[2, :]) / (2.0 * dx))
-    dfdx = dfdx.at[-1, :].set((3.0 * f[-1, :] - 4.0 * f[-2, :] + f[-3, :]) / (2.0 * dx))
+    from fluidsolver_tpu.core.fields import row_set
+
+    dfdx = row_set(dfdx, 0, (-3.0 * f[0, :] + 4.0 * f[1, :] - f[2, :]) / (2.0 * dx))
+    dfdx = row_set(dfdx, -1, (3.0 * f[-1, :] - 4.0 * f[-2, :] + f[-3, :]) / (2.0 * dx))
 
     dfdy = dfdy.at[:, 1:-1].set((f[:, 2:] - f[:, :-2]) / (2.0 * dy))
     dfdy = dfdy.at[:, 0].set((-3.0 * f[:, 0] + 4.0 * f[:, 1] - f[:, 2]) / (2.0 * dy))

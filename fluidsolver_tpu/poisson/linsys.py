@@ -21,7 +21,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from fluidsolver_tpu.core.fields import register_pytree_dataclass
+from fluidsolver_tpu.core.fields import register_pytree_dataclass, row_set
 
 # Dirichlet pinning side (reference: PSDirichlet, src/LinearSystem.hpp:10)
 PIN_NONE = None
@@ -86,13 +86,13 @@ def assemble_pressure_operator(
         one = jnp.ones(())
         zero = jnp.zeros(())
         if pin == PIN_LEFT:
-            aC = aC.at[0, :].set(one); aL = aL.at[0, :].set(zero); aR = aR.at[0, :].set(zero)
-            aB = aB.at[0, :].set(zero); aT = aT.at[0, :].set(zero)
-            aL = aL.at[1, :].set(zero)
+            aC = row_set(aC, 0, one); aL = row_set(aL, 0, zero); aR = row_set(aR, 0, zero)
+            aB = row_set(aB, 0, zero); aT = row_set(aT, 0, zero)
+            aL = row_set(aL, 1, zero)
         elif pin == PIN_RIGHT:
-            aC = aC.at[-1, :].set(one); aL = aL.at[-1, :].set(zero); aR = aR.at[-1, :].set(zero)
-            aB = aB.at[-1, :].set(zero); aT = aT.at[-1, :].set(zero)
-            aR = aR.at[-2, :].set(zero)
+            aC = row_set(aC, -1, one); aL = row_set(aL, -1, zero); aR = row_set(aR, -1, zero)
+            aB = row_set(aB, -1, zero); aT = row_set(aT, -1, zero)
+            aR = row_set(aR, -2, zero)
         elif pin == PIN_BOTTOM:
             aC = aC.at[:, 0].set(one); aL = aL.at[:, 0].set(zero); aR = aR.at[:, 0].set(zero)
             aB = aB.at[:, 0].set(zero); aT = aT.at[:, 0].set(zero)
@@ -115,9 +115,9 @@ def build_pressure_rhs(
     vol = dx * dy
     rhs = -vol * div / dt
     if pin == PIN_LEFT:
-        rhs = rhs.at[0, :].set(0.0)
+        rhs = row_set(rhs, 0, 0.0)
     elif pin == PIN_RIGHT:
-        rhs = rhs.at[-1, :].set(0.0)
+        rhs = row_set(rhs, -1, 0.0)
     elif pin == PIN_BOTTOM:
         rhs = rhs.at[:, 0].set(0.0)
     elif pin == PIN_TOP:

@@ -164,11 +164,13 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
             ncols = U.shape[1]
             inflow = jnp.sum(state.rho_u[0, :] * U[0, :] * grid.dy)
             outflow = jnp.sum(state.rho_u[-1, :] * U[-1, :] * grid.dy)
-            U = U.at[0, :].add(
-                (cfg.flow_forcing - inflow) / (state.rho_u[0, :] * grid.dy * ncols)
+            from fluidsolver_tpu.core.fields import row_add
+
+            U = row_add(
+                U, 0, (cfg.flow_forcing - inflow) / (state.rho_u[0, :] * grid.dy * ncols)
             )
-            U = U.at[-1, :].add(
-                (cfg.flow_forcing - outflow) / (state.rho_u[-1, :] * grid.dy * ncols)
+            U = row_add(
+                U, -1, (cfg.flow_forcing - outflow) / (state.rho_u[-1, :] * grid.dy * ncols)
             )
 
         if cfg.ib_mode == "diffuse":
