@@ -458,10 +458,12 @@ def _fused_ok(level: BoxLevel, b) -> bool:
         return False
     import jax
 
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or jax.device_count() > 1:
         # interpret-mode Pallas under jit is slow and is NOT the production
         # path; CPU runs use the XLA sweeps (the kernels themselves are
-        # validated on CPU eagerly via interpret=True in tests)
+        # validated on CPU eagerly via interpret=True in tests). Multi-
+        # device GSPMD programs also skip the kernels — pallas_call does
+        # not partition; the XLA path shards correctly.
         return False
     from fluidsolver_tpu.poisson import pallas_vcycle as pv
 

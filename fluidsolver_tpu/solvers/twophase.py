@@ -43,7 +43,8 @@ def _use_pallas_momentum() -> bool:
     TPU backend until its hardware win is quantified."""
     if os.environ.get("FS_PALLAS_MOMENTUM", "0") != "1":
         return False
-    return jax.default_backend() == "tpu"
+    # single-chip only: pallas_call does not partition under GSPMD
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 @register_pytree_dataclass
