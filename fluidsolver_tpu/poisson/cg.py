@@ -164,15 +164,15 @@ def solve_pcg(
     rel0 = jnp.sqrt(_dot(r0, r0)) / safe_b_norm
 
     def cond(carry):
-        _, r, _, _, _, k, best, since = carry
-        rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
+        # ``rel`` is carried from the body — no extra reduction pass here
+        _, _, _, _, _, k, rel, best, since = carry
         return (
             (k < max_iter) & (rel > tol) & (b_norm > 0.0)
             & (since < STAG_WINDOW)
         )
 
     def body(carry):
-        x, r, z, p, rz, k, best, since = carry
+        x, r, z, p, rz, k, rel, best, since = carry
         Ap = apply_op(op, p)
         pAp = _dot(p, Ap)
         alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
@@ -186,10 +186,9 @@ def solve_pcg(
         improved = rel < best * 0.9999
         best = jnp.minimum(best, rel)
         since = jnp.where(improved, 0, since + 1)
-        return (x, r, z, p, rz_new, k + 1, best, since)
+        return (x, r, z, p, rz_new, k + 1, rel, best, since)
 
-    x, r, _, _, _, iters, _, _ = lax.while_loop(
-        cond, body, (x0, r0, z0, p0, rz0, 0, rel0, 0)
+    x, r, _, _, _, iters, rel, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, 0, rel0, rel0, 0)
     )
-    rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
     return project(x) if singular else x, rel, iters
