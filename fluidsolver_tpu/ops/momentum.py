@@ -40,6 +40,24 @@ def _visc_corner(visc: jnp.ndarray) -> jnp.ndarray:
     return 0.25 * (visc[1:, 1:] + visc[:-1, 1:] + visc[1:, :-1] + visc[:-1, :-1])
 
 
+def _pad1(interior: jnp.ndarray) -> jnp.ndarray:
+    """Embed an interior-sized expression into the full array with a zero
+    ghost ring. pad (not ``.at[1:-1,1:-1].set``): the scatter the latter
+    emits partitions worse under GSPMD."""
+    return jnp.pad(interior, ((1, 1), (1, 1)))
+
+
+def _set_interior(base: jnp.ndarray, interior: jnp.ndarray) -> jnp.ndarray:
+    """base with its interior replaced (ghost ring kept) — scatter-free."""
+    import jax
+
+    n, m = base.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    inside = (ii > 0) & (ii < n - 1) & (jj > 0) & (jj < m - 1)
+    return jnp.where(inside, _pad1(interior), base)
+
+
 def calc_dmomdt(
     U: jnp.ndarray,
     V: jnp.ndarray,
@@ -95,15 +113,13 @@ def calc_dmomdt(
     FYV = -rho_h * v_h * v_c + 2.0 * visc * dvdy - p
 
     # ---- flux differences (src/FS.hpp:281-292) ----------------------------
-    dmomU = jnp.zeros_like(U)
-    dmomU = dmomU.at[1:-1, 1:-1].set(
+    dmomU = _pad1(
         (FXU[1:, 1:-1] - FXU[:-1, 1:-1]) / dx
         + (FYU[:, 1:] - FYU[:, :-1]) / dy
         + p_jump_u[1:-1, 1:-1]
     )
 
-    dmomV = jnp.zeros_like(V)
-    dmomV = dmomV.at[1:-1, 1:-1].set(
+    dmomV = _pad1(
         (FXV[1:, :] - FXV[:-1, :]) / dx
         + (FYV[1:-1, 1:] - FYV[1:-1, :-1]) / dy
         + p_jump_v[1:-1, 1:-1]
@@ -136,8 +152,7 @@ def calc_drhodt(
     rho_h, _ = hybrid_interp(rho_eps, rho_u_old[1:-1, :-1], rho_u_old[1:-1, 1:], zero, zero, v_lo, v_hi)
     FYU = -rho_h * 0.5 * (v_lo + v_hi)
 
-    drho_u = jnp.zeros_like(rho_u_old)
-    drho_u = drho_u.at[1:-1, 1:-1].set(
+    drho_u = _pad1(
         (FXU[1:, 1:-1] - FXU[:-1, 1:-1]) / dx + (FYU[:, 1:] - FYU[:, :-1]) / dy
     )
 
@@ -151,8 +166,7 @@ def calc_drhodt(
     )
     FYV = -rho_h * 0.5 * (V[:, :-1] + V[:, 1:])
 
-    drho_v = jnp.zeros_like(rho_v_old)
-    drho_v = drho_v.at[1:-1, 1:-1].set(
+    drho_v = _pad1(
         (FXV[1:, :] - FXV[:-1, :]) / dx + (FYV[1:-1, 1:] - FYV[1:-1, :-1]) / dy
     )
     return drho_u, drho_v
@@ -160,19 +174,21 @@ def calc_drhodt(
 
 def update_velocity(U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v, dmomU, dmomV, dt, U, V):
     """U = (rho_old*U_old + dt*dmomUdt)/rho  on the interior (src/FS.hpp:423-436)."""
-    U = U.at[1:-1, 1:-1].set(
-        (rho_u_old[1:-1, 1:-1] * U_old[1:-1, 1:-1] + dt * dmomU[1:-1, 1:-1]) / rho_u[1:-1, 1:-1]
+    U = _set_interior(
+        U,
+        (rho_u_old[1:-1, 1:-1] * U_old[1:-1, 1:-1] + dt * dmomU[1:-1, 1:-1]) / rho_u[1:-1, 1:-1],
     )
-    V = V.at[1:-1, 1:-1].set(
-        (rho_v_old[1:-1, 1:-1] * V_old[1:-1, 1:-1] + dt * dmomV[1:-1, 1:-1]) / rho_v[1:-1, 1:-1]
+    V = _set_interior(
+        V,
+        (rho_v_old[1:-1, 1:-1] * V_old[1:-1, 1:-1] + dt * dmomV[1:-1, 1:-1]) / rho_v[1:-1, 1:-1],
     )
     return U, V
 
 
 def update_density(rho_u_old, rho_v_old, drho_u, drho_v, dt, rho_u, rho_v):
     """rho = rho_old + dt*drhodt on the interior (src/FS.hpp:409-420)."""
-    rho_u = rho_u.at[1:-1, 1:-1].set(rho_u_old[1:-1, 1:-1] + dt * drho_u[1:-1, 1:-1])
-    rho_v = rho_v.at[1:-1, 1:-1].set(rho_v_old[1:-1, 1:-1] + dt * drho_v[1:-1, 1:-1])
+    rho_u = _set_interior(rho_u, rho_u_old[1:-1, 1:-1] + dt * drho_u[1:-1, 1:-1])
+    rho_v = _set_interior(rho_v, rho_v_old[1:-1, 1:-1] + dt * drho_v[1:-1, 1:-1])
     return rho_u, rho_v
 
 

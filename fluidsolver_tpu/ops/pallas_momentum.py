@@ -1,16 +1,20 @@
 """Pallas TPU kernel: fused momentum + density-transport subiteration stage.
 
 One subiteration's momentum work — consistent density transport
-(mom.calc_drhodt + update_density), conservative momentum fluxes
-(mom.calc_dmomdt), gravity, and the velocity update (mom.update_velocity) —
-reads the same staggered fields several times when left to XLA's per-op
-fusion. This kernel performs the whole stage band-by-band out of VMEM: every
-input is DMA'd once, all fluxes and updates run on-chip, and the four
-results (rho_u, rho_v, U, V) stream back. The in-kernel math literally
-CALLS the existing ops/momentum.py functions on the loaded windows
-(trapezoidal blocking with a 2-row halo; rows the functions treat as
-window ghosts fall inside the discarded halo), so there is a single source
-of truth for the numerics (reference: src/FS.hpp:158-436).
+(mom.calc_drhodt + mom.update_density), conservative momentum fluxes with
+hybrid upwinding (mom.calc_dmomdt), gravity, and the velocity update
+(mom.update_velocity) — reads the same staggered fields several times when
+left to XLA's per-op fusion. This kernel performs the whole stage
+band-by-band out of VMEM: every input is DMA'd once, all fluxes and updates
+run on-chip, and the four results (rho_u, rho_v, U, V) stream back.
+
+Kernel math is written in "canvas" form for Mosaic: every mesh (U-faces,
+V-faces, centers, corners) lives on a common (W+1, M+1) window canvas at
+offset 0, staggered neighbor access is roll+mask (`_shift_in`), interiors
+are selected with iota masks — no lane-offset slices, pads, or scatters
+(all of which hit unimplemented Mosaic lowerings). The formulas mirror
+ops/momentum.py term by term (reference: src/FS.hpp:131-436) and the
+equality is pinned to rounding by tests/test_pallas_momentum.py.
 """
 
 from __future__ import annotations
@@ -20,23 +24,132 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from fluidsolver_tpu.ops import momentum as mom
+from fluidsolver_tpu.poisson.pallas_vcycle import _shift_in
 
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 H = 2  # halo rows: flux stencils reach <= 2 rows from an updated row
 
 
-def _make_kernel(B, W, Nc_pad, dx, dy, rho_eps, gx, gy, dtype):
+def _hybrid(rho_eps, rho_m, rho_p, velo_m, velo_p, transp_m, transp_p):
+    """mom.hybrid_interp on canvas values (src/FS.hpp:131-150)."""
+    upwind_minus = transp_p + transp_m >= 0.0
+    rho_up = jnp.where(upwind_minus, rho_m, rho_p)
+    velo_up = jnp.where(upwind_minus, velo_m, velo_p)
+    use_up = jnp.abs(rho_p - rho_m) > rho_eps
+    rho = jnp.where(use_up, rho_up, 0.5 * (rho_p + rho_m))
+    velo = jnp.where(use_up, velo_up, 0.5 * (velo_p + velo_m))
+    return rho, velo
+
+
+def _stage_on_canvas(U, V, U_old, V_old, ruo, rvo, rho_u, rho_v, visc, p,
+                     pj_u, pj_v, dt, dx, dy, rho_eps, gx, gy,
+                     n_u_rows, n_c_rows, n_c_cols, row_base):
+    """The full momentum stage on (R, C) canvases.
+
+    Index conventions on the canvas (matching ops/momentum.py):
+      U/rho_u/pj_u valid at [0:n_u_rows, 0:n_c_cols]  (n_u_rows = n_c_rows+1)
+      V/rho_v/pj_v valid at [0:n_c_rows, 0:n_c_cols+1]
+      centers      valid at [0:n_c_rows, 0:n_c_cols]
+      center  c    pairs faces U[c], U[c+1]
+      corner (k,l) uses U[k+1, l], U[k+1, l+1], V[k, l+1], V[k+1, l+1]
+    ``row_base`` = absolute index of canvas row 0 (for the domain-interior
+    masks). Returns (rho_u_new, rho_v_new, U_new, V_new) full canvases.
+    """
+
+    def R(a, di, dj):
+        return _shift_in(a, di, dj)
+
+    # ---- center-mesh x fluxes: FXU (momentum), GXU (density) --------------
+    U_e = R(U, 1, 0)        # U[c+1]
+    ru_e = R(ruo, 1, 0)
+    rho_h, u_h = _hybrid(rho_eps, ruo, ru_e, U, U_e, U, U_e)
+    u_c = 0.5 * (U + U_e)
+    dudx = (U_e - U) / dx
+    FXU = -rho_h * u_h * u_c + 2.0 * visc * dudx - p
+    GXU = -rho_h * 0.5 * (U + U_e)
+
+    # ---- corner-mesh fluxes: FYU, FXV (momentum), GYU, GXV (density) ------
+    u_lo = R(U, 1, 0)       # U[k+1, l]
+    u_hi = R(U, 1, 1)       # U[k+1, l+1]
+    v_lo = R(V, 0, 1)       # V[k, l+1]
+    v_hi = R(V, 1, 1)       # V[k+1, l+1]
+    ru_lo = R(ruo, 1, 0)
+    ru_hi = R(ruo, 1, 1)
+    rv_lo = R(rvo, 0, 1)
+    rv_hi = R(rvo, 1, 1)
+    # corner viscosity: 0.25*(visc[k,l] + visc[k+1,l] + visc[k,l+1] + visc[k+1,l+1])
+    mu_c = 0.25 * (visc + R(visc, 1, 0) + R(visc, 0, 1) + R(visc, 1, 1))
+    dudy = (u_hi - u_lo) / dy
+    dvdx = (v_hi - v_lo) / dx
+    rho_h, u_h = _hybrid(rho_eps, ru_lo, ru_hi, u_lo, u_hi, v_lo, v_hi)
+    FYU = -rho_h * u_h * 0.5 * (v_lo + v_hi) + mu_c * (dudy + dvdx)
+    GYU = -rho_h * 0.5 * (v_lo + v_hi)
+    rho_h, v_h = _hybrid(rho_eps, rv_lo, rv_hi, v_lo, v_hi, u_lo, u_hi)
+    FXV = -rho_h * v_h * 0.5 * (u_lo + u_hi) + mu_c * (dudy + dvdx)
+    GXV = -rho_h * 0.5 * (u_lo + u_hi)
+
+    # ---- center-mesh y fluxes: FYV, GYV ------------------------------------
+    V_n = R(V, 0, 1)        # V[c, l+1]
+    rv_n = R(rvo, 0, 1)
+    rho_h, v_h = _hybrid(rho_eps, rvo, rv_n, V, V_n, V, V_n)
+    v_c = 0.5 * (V + V_n)
+    dvdy = (V_n - V) / dy
+    FYV = -rho_h * v_h * v_c + 2.0 * visc * dvdy - p
+    GYV = -rho_h * 0.5 * (V + V_n)
+
+    # ---- flux differences --------------------------------------------------
+    # dmomU[i, j] = (FXU[i] - FXU[i-1])/dx + (FYU[i-1, j] - FYU[i-1, j-1])/dy
+    #              + pj_u[i, j]
+    dmomU = (
+        (FXU - R(FXU, -1, 0)) / dx
+        + (R(FYU, -1, 0) - R(FYU, -1, -1)) / dy
+        + pj_u
+    )
+    drho_u = (GXU - R(GXU, -1, 0)) / dx + (R(GYU, -1, 0) - R(GYU, -1, -1)) / dy
+    # dmomV[c, j] = (FXV[c, j-1] - FXV[c-1, j-1])/dx + (FYV[c, j] - FYV[c, j-1])/dy
+    #              + pj_v[c, j]
+    dmomV = (
+        (R(FXV, 0, -1) - R(FXV, -1, -1)) / dx
+        + (FYV - R(FYV, 0, -1)) / dy
+        + pj_v
+    )
+    drho_v = (R(GXV, 0, -1) - R(GXV, -1, -1)) / dx + (GYV - R(GYV, 0, -1)) / dy
+
+    # ---- interior masks (absolute domain indices) ---------------------------
+    Rr, Cc = U.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Rr, Cc), 0) + row_base
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Rr, Cc), 1)
+    in_u = (ii > 0) & (ii < n_u_rows - 1) & (jj > 0) & (jj < n_c_cols - 1)
+    in_v = (ii > 0) & (ii < n_c_rows - 1) & (jj > 0) & (jj < n_c_cols)
+
+    # ---- updates (mom.update_density / update_velocity) --------------------
+    rho_u_new = jnp.where(in_u, ruo + dt * drho_u, rho_u)
+    rho_v_new = jnp.where(in_v, rvo + dt * drho_v, rho_v)
+    if gx != 0.0:
+        dmomU = dmomU + jnp.where(in_u, rho_u_new * gx, 0.0)
+    if gy != 0.0:
+        dmomV = dmomV + jnp.where(in_v, rho_v_new * gy, 0.0)
+    ru_safe = jnp.where(rho_u_new == 0.0, 1.0, rho_u_new)
+    rv_safe = jnp.where(rho_v_new == 0.0, 1.0, rho_v_new)
+    U_new = jnp.where(in_u, (ruo * U_old + dt * dmomU) / ru_safe, U)
+    V_new = jnp.where(in_v, (rvo * V_old + dt * dmomV) / rv_safe, V)
+    return rho_u_new, rho_v_new, U_new, V_new
+
+
+def _make_kernel(B, W, Nc_pad, M, C, dx, dy, rho_eps, gx, gy, dtype,
+                 n_u_rows, n_c_rows):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # inputs: U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
-    #         visc, p, pj_u, pj_v  (U-shaped inputs 0,2,4,6,10 have an
-    #         extra row relative to the center/V-shaped ones)
     N_IN = 12
     N_OUT = 4
+    # C = canvas cols: M+1 (V mesh) rounded up to a 128 multiple (Mosaic:
+    # HBM slice lane dims must be tile-aligned); masks use the true M
+    Rr = W + 8         # canvas rows: U windows read 8 extra (aligned) rows
 
     def kernel(dt_ref, *refs):
+        # separate 2D canvases per array (3D VMEM slabs cannot be index-
+        # sliced unless the lane dim is 128-aligned)
         ins = refs[:N_IN]
         outs = refs[N_IN:N_IN + N_OUT]
         scr = refs[N_IN + N_OUT:N_IN + N_OUT + N_IN]
@@ -45,65 +158,38 @@ def _make_kernel(B, W, Nc_pad, dx, dy, rho_eps, gx, gy, dtype):
         sem_out = refs[-1]
 
         band = pl.program_id(0)
-        row0 = band * B                      # first center row of the band
-        start = jnp.clip(row0 - H, 0, Nc_pad - W)
+        row0 = pl.multiple_of(band * B, 8)
+        # fixed 8-row halo (>= H) keeps the DMA start provably 8-aligned
+        start = pl.multiple_of(jnp.clip(row0 - 8, 0, Nc_pad - W), 8)
 
+        # every input is padded (rows AND cols) to the uniform canvas shape
+        # by the wrapper, so each DMA fills a whole scratch slab — windowed
+        # sub-ref targets trip Mosaic's tiling-alignment rules
         dmas = []
         for i in range(N_IN):
-            rows = W + 1 if i in (0, 2, 4, 6, 10) else W
             dmas.append(pltpu.make_async_copy(
-                ins[i].at[pl.ds(start, rows), :], scr[i], sem_in.at[i]
+                ins[i].at[pl.ds(start, Rr), :],
+                scr[i],
+                sem_in.at[i],
             ))
         for d in dmas:
             d.start()
         for d in dmas:
             d.wait()
 
-        U = scr[0][:]
-        V = scr[1][:]
-        U_old = scr[2][:]
-        V_old = scr[3][:]
-        rho_u_old = scr[4][:]
-        rho_v_old = scr[5][:]
-        rho_u = scr[6][:]
-        rho_v = scr[7][:]
-        visc = scr[8][:]
-        p = scr[9][:]
-        pj_u = scr[10][:]
-        pj_v = scr[11][:]
+        vals = [scr[i][:] for i in range(N_IN)]
         dt = dt_ref[0, 0]
-
-        drho_u, drho_v = mom.calc_drhodt(
-            U, V, rho_u_old, rho_v_old, dx, dy, rho_eps
+        res = _stage_on_canvas(
+            *vals, dt, dx, dy, rho_eps, gx, gy,
+            n_u_rows, n_c_rows, M, start,
         )
-        rho_u_new, rho_v_new = mom.update_density(
-            rho_u_old, rho_v_old, drho_u, drho_v, dt, rho_u, rho_v
-        )
-        dmomU, dmomV = mom.calc_dmomdt(
-            U, V, rho_u_old, rho_v_old, visc, p, pj_u, pj_v, dx, dy, rho_eps
-        )
-        if gx != 0.0:
-            dmomU = dmomU.at[1:-1, 1:-1].add(rho_u_new[1:-1, 1:-1] * gx)
-        if gy != 0.0:
-            dmomV = dmomV.at[1:-1, 1:-1].add(rho_v_new[1:-1, 1:-1] * gy)
-        U_new, V_new = mom.update_velocity(
-            U_old, V_old, rho_u_old, rho_v_old, rho_u_new, rho_v_new,
-            dmomU, dmomV, dt, U, V,
-        )
-
-        out_scr[0][:] = rho_u_new
-        out_scr[1][:] = rho_v_new
-        out_scr[2][:] = U_new
-        out_scr[3][:] = V_new
-
-        off = row0 - start
+        # full-slab writes to per-band HBM outputs (windowed VMEM sub-refs
+        # must be tile-aligned in both dims); interiors extracted in XLA
         outs_dma = []
         for k in range(N_OUT):
-            rows = B + 1 if k in (0, 2) else B
+            out_scr[k][:] = res[k]
             outs_dma.append(pltpu.make_async_copy(
-                out_scr[k].at[pl.ds(off, rows), :],
-                outs[k].at[pl.ds(row0, rows), :],
-                sem_out.at[k],
+                out_scr[k], outs[k].at[band], sem_out.at[k]
             ))
         for d in outs_dma:
             d.start()
@@ -129,48 +215,43 @@ def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
     Nc, M = p.shape  # center rows/cols; U has Nc+1 rows; V has M+1 cols
     dtype = p.dtype
 
-    # band size over CENTER rows
+    C_pad = -(-(M + 1) // 128) * 128  # canvas cols, lane-aligned
     B = 256
-    per_row = (12 + 4 + 8) * max(M + 1, M) * jnp.dtype(dtype).itemsize
-    while B > 8 and (B + 2 * H + 1) * per_row > VMEM_BUDGET_BYTES:
+    per_row = (12 + 4) * C_pad * jnp.dtype(dtype).itemsize
+    while B > 8 and (B + 2 * H + 9) * per_row > VMEM_BUDGET_BYTES:
         B //= 2
-    n_bands = -(-Nc // B)
-    Nc_pad = max(n_bands * B, B + 2 * H)
-    n_bands = Nc_pad // B
-    W = B + 2 * H
+    W = B + 16  # fixed 8-row halo both sides: aligned DMA starts/lengths
+    n_bands = max(-(-Nc // B), -(-W // B))
+    Nc_pad = n_bands * B
 
-    def pad_rows(a, extra):
-        target = Nc_pad + extra
-        if a.shape[0] == target:
-            return a
-        return jnp.pad(a, ((0, target - a.shape[0]), (0, 0)))
+    def pad_to(a, rows):
+        r = rows - a.shape[0]
+        c = C_pad - a.shape[1]
+        return jnp.pad(a, ((0, r), (0, c)))
 
-    # order matters (see kernel): U-shaped inputs at indices 0,2,4,6,10
+    # every input padded to the uniform (Nc_pad + 8, M + 1) shape so each
+    # band's DMA reads a full canvas slab (Rr = W + 8 rows) at an aligned
+    # start; the 8 extra rows double as the U-mesh's one-row overhang
     args = [
-        pad_rows(U, 1), pad_rows(V, 0),
-        pad_rows(U_old, 1), pad_rows(V_old, 0),
-        pad_rows(rho_u_old, 1), pad_rows(rho_v_old, 0),
-        pad_rows(rho_u, 1), pad_rows(rho_v, 0),
-        pad_rows(visc, 0), pad_rows(p, 0),
-        pad_rows(pj_u, 1), pad_rows(pj_v, 0),
+        pad_to(a, Nc_pad + 8)
+        for a in (U, V, U_old, V_old, rho_u_old, rho_v_old,
+                  rho_u, rho_v, visc, p, pj_u, pj_v)
     ]
-    col = [a.shape[1] for a in args]
 
-    kernel = _make_kernel(B, W, Nc_pad, dx, dy, rho_eps, gx, gy, dtype)
+    kernel = _make_kernel(
+        B, W, Nc_pad, M, C_pad, dx, dy, rho_eps, gx, gy, dtype,
+        n_u_rows=Nc + 1, n_c_rows=Nc,
+    )
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    # explicit HBM: ANY may place small operands in VMEM, where the
+    # banded DMA becomes a lane-misaligned VMEM slice Mosaic rejects
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((Nc_pad + 1, col[4]), dtype),  # rho_u
-        jax.ShapeDtypeStruct((Nc_pad, col[5]), dtype),      # rho_v
-        jax.ShapeDtypeStruct((Nc_pad + 1, col[0]), dtype),  # U
-        jax.ShapeDtypeStruct((Nc_pad, col[1]), dtype),      # V
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((n_bands, W + 8, C_pad), dtype) for _ in range(4)
     )
     scratch = (
-        [pltpu.VMEM((W + 1 if i in (0, 2, 4, 6, 10) else W, col[i]), dtype)
-         for i in range(12)]
-        + [pltpu.VMEM((W + 1, col[4]), dtype), pltpu.VMEM((W, col[5]), dtype),
-           pltpu.VMEM((W + 1, col[0]), dtype), pltpu.VMEM((W, col[1]), dtype)]
+        [pltpu.VMEM((W + 8, C_pad), dtype) for _ in range(16)]
         + [pltpu.SemaphoreType.DMA((12,)), pltpu.SemaphoreType.DMA((4,))]
     )
 
@@ -182,19 +263,27 @@ def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
         in_specs=[smem] + [hbm] * 12,
         out_specs=(hbm, hbm, hbm, hbm),
         scratch_shapes=scratch,
+        # v5e has 128 MiB VMEM; the default 16 MiB scoped limit rejects the
+        # larger bands (scratch slabs + Mosaic value stack)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dt_arr, *args)
 
-    rho_u_new, rho_v_new, U_new, V_new = res
-    # The last REAL row of each output is a ghost row the update functions
-    # must leave at its base value; when the domain does not end on a band
-    # boundary, the kernel's window saw zero-padded rows beyond it and
-    # overwrote it with junk — restore from the base arrays. (Row 0 is safe:
-    # the first band's window is clamped to start=0, so the functions' own
-    # edge handling preserved it.)
+    def extract(bands):
+        parts = []
+        for bnd in range(n_bands):
+            row0 = bnd * B
+            start = min(max(row0 - 8, 0), Nc_pad - W)
+            parts.append(bands[bnd, row0 - start:row0 - start + B])
+        return jnp.concatenate(parts, axis=0)
+
+    rho_u_new, rho_v_new, U_new, V_new = map(extract, res)
+    # bands cover rows [0, Nc_pad); the last U-shaped row (index Nc, a ghost
+    # row the updates must keep at its base value) is appended from the base
     return (
-        rho_u_new[:Nc + 1].at[-1].set(rho_u[-1]),
-        rho_v_new[:Nc].at[-1].set(rho_v[-1]),
-        U_new[:Nc + 1].at[-1].set(U[-1]),
-        V_new[:Nc].at[-1].set(V[-1]),
+        jnp.concatenate([rho_u_new[:Nc, :M], rho_u[Nc:Nc + 1]], axis=0),
+        rho_v_new[:Nc, :M + 1],
+        jnp.concatenate([U_new[:Nc, :M], U[Nc:Nc + 1]], axis=0),
+        V_new[:Nc, :M + 1],
     )

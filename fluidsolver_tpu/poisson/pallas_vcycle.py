@@ -73,20 +73,23 @@ def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
     n_out = 2 if residual else 1
 
     def kernel(*refs):
+        # separate 2D scratch buffers per array: indexing one 3D VMEM slab
+        # requires 128-aligned lanes, which general M is not
         ins = refs[:n_in]
         outs = refs[n_in:n_in + n_out]
-        scratch = refs[n_in + n_out]      # (n_in, W, M) VMEM
-        out_buf = refs[n_in + n_out + 1]  # (n_out, B, M) VMEM
-        sem_in = refs[n_in + n_out + 2]
-        sem_out = refs[n_in + n_out + 3]
+        scratch = refs[n_in + n_out:n_in + n_out + n_in]
+        out_buf = refs[n_in + n_out + n_in:n_in + n_out + n_in + n_out]
+        sem_in = refs[-2]
+        sem_out = refs[-1]
 
         band = pl.program_id(0)
-        row0 = band * B
-        start = jnp.clip(row0 - H, 0, N_pad - W)
+        row0 = pl.multiple_of(band * B, 8)
+        # fixed 8-row halo (>= H) keeps the DMA start provably 8-aligned
+        start = pl.multiple_of(jnp.clip(row0 - 8, 0, N_pad - W), 8)
 
         dmas = [
             pltpu.make_async_copy(
-                ins[i].at[pl.ds(start, W), :], scratch.at[i], sem_in.at[i]
+                ins[i].at[pl.ds(start, W), :], scratch[i], sem_in.at[i]
             )
             for i in range(n_in)
         ]
@@ -95,10 +98,10 @@ def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
         for d in dmas:
             d.wait()
 
-        coefs = tuple(scratch[i] for i in range(ncoef))
+        coefs = tuple(scratch[i][:] for i in range(ncoef))
         aC = coefs[0]
-        b = scratch[ncoef]
-        x = scratch[ncoef + 1] if has_x0 else jnp.zeros((W, M), dtype)
+        b = scratch[ncoef][:]
+        x = scratch[ncoef + 1][:] if has_x0 else jnp.zeros((W, M), dtype)
 
         ii = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + start
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
@@ -111,18 +114,16 @@ def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
             mask = red if want_red else 1.0 - red
             x = jnp.where(mask > 0.5, x_new, x)
 
-        # Mosaic has no dynamic_slice on values: stage the full window in
-        # VMEM and let the DMA engine do the (ref-level) dynamic slicing
-        off = row0 - start
-        out_buf[0] = x
+        # write each band's FULL window to HBM (windowed VMEM sub-refs must
+        # be tile-aligned in both dims, which M generally is not); the
+        # wrapper extracts the band interiors afterwards in XLA
+        out_buf[0][:] = x
         if residual:
-            out_buf[1] = b - _apply_coefs(coefs, x)
+            out_buf[1][:] = b - _apply_coefs(coefs, x)
 
         outs_dma = [
             pltpu.make_async_copy(
-                out_buf.at[k].at[pl.ds(off, B), :],
-                outs[k].at[pl.ds(row0, B), :],
-                sem_out.at[k],
+                out_buf[k], outs[k].at[band], sem_out.at[k]
             )
             for k in range(n_out)
         ]
@@ -164,24 +165,30 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
     ncoef = 9 if is9 else 5
     n_arrays = ncoef + 1 + (1 if has_x0 else 0)
 
-    # pad rows to a whole number of bands; padded rows carry aC=0 (inert:
-    # their updates read b=0 -> x stays 0, matching XLA's zero-fill shifts)
-    B = _pick_band(N + 2 * H, M, n_arrays, jnp.dtype(dtype).itemsize, H)
-    n_bands = -(-N // B)
-    N_pad = max(n_bands * B, B + 2 * H)
-    n_bands = N_pad // B
+    # pad rows to a whole number of bands and lanes (cols) to a 128 multiple
+    # (Mosaic: HBM slice lane dims must be tile-aligned); padded cells carry
+    # aC=0 (inert: their updates read b=0 -> x stays 0, matching XLA's
+    # zero-fill shifts at the true boundary)
+    M_pad = -(-M // 128) * 128
+    B = _pick_band(N + 2 * H, M_pad, n_arrays, jnp.dtype(dtype).itemsize, H)
+    # fixed 8-row halo on both sides (covers any H <= 8) keeps every DMA
+    # start and slice length provably 8-aligned for Mosaic
+    assert H <= 8
+    W = B + 16
+    n_bands = max(-(-N // B), -(-W // B))
+    N_pad = n_bands * B
 
     def pad_rows(a):
-        return a if a.shape[0] == N_pad else jnp.pad(a, ((0, N_pad - a.shape[0]), (0, 0)))
-
-    W = B + 2 * H
+        return jnp.pad(a, ((0, N_pad - a.shape[0]), (0, M_pad - a.shape[1])))
     kernel, n_in, n_out = _make_kernel(
-        tuple(colors), residual, has_x0, ncoef, N_pad, M, B, H, W, dtype
+        tuple(colors), residual, has_x0, ncoef, N_pad, M_pad, B, H, W, dtype
     )
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    # explicit HBM: ANY may place small operands in VMEM, where the
+    # banded DMA becomes a lane-misaligned VMEM slice Mosaic rejects
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((N_pad, M), dtype) for _ in range(n_out)
+        jax.ShapeDtypeStruct((n_bands, W, M_pad), dtype) for _ in range(n_out)
     )
     coef_arrays = [op.aC, op.aL, op.aR, op.aB, op.aT]
     if is9:
@@ -195,15 +202,26 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
         out_shape=out_shapes,
         in_specs=[hbm] * n_in,
         out_specs=tuple([hbm] * n_out),
-        scratch_shapes=[
-            pltpu.VMEM((n_in, W, M), dtype),
-            pltpu.VMEM((n_out, W, M), dtype),
-            pltpu.SemaphoreType.DMA((n_in,)),
-            pltpu.SemaphoreType.DMA((n_out,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((W, M_pad), dtype) for _ in range(n_in + n_out)]
+            + [pltpu.SemaphoreType.DMA((n_in,)),
+               pltpu.SemaphoreType.DMA((n_out,))]
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
+    # per-band interior extraction (static offsets mirror the kernel's
+    # clamped window starts)
+    def extract(bands):
+        parts = []
+        for bnd in range(n_bands):
+            row0 = bnd * B
+            start = min(max(row0 - 8, 0), N_pad - W)
+            parts.append(bands[bnd, row0 - start:row0 - start + B])
+        return jnp.concatenate(parts, axis=0)[:N, :M]
+
     if residual:
-        return res[0][:N], res[1][:N]
-    return res[0][:N]
+        return extract(res[0]), extract(res[1])
+    return extract(res[0])
