@@ -45,6 +45,7 @@ class Simulation:
         if output_dir is None:
             output_dir = os.path.join("output", case.name)
         self.output_dir = output_dir
+        self._setup_observers()
         if save_output:
             os.makedirs(output_dir, exist_ok=True)
             self._setup_writers(writer)
@@ -53,50 +54,116 @@ class Simulation:
     def _flow(self):
         return self.state.flow if self.case.two_phase else self.state
 
+    def _setup_observers(self):
+        """Batched, jitted diagnostics.
+
+        On the tunneled axon TPU backend, eager (unjitted) ops are compiled
+        remotely per op and are NOT persistently cached: a getter-per-field
+        observation layer costs minutes of one-time compiles. Instead ALL
+        diagnostics are computed by two jitted state->dict functions (cheap
+        scalars for the monitor/loop, full fields for the data writer), each
+        dispatched once per step with a single batched device->host copy.
+        """
+        import jax
+
+        g = self.grid
+        two = self.case.two_phase
+
+        @jax.jit
+        def scalars(state):
+            fl = state.flow if two else state
+            div = stencil.divergence(fl.U, fl.V, g.dx, g.dy)
+            out = {
+                "time": fl.t,
+                "dt": fl.dt,
+                "max(U)": jnp.max(jnp.abs(fl.U)),
+                "max(V)": jnp.max(jnp.abs(fl.V)),
+                # interior only: ghost-ring entries of the divergence array
+                # are not defined (reference computes it on the interior box,
+                # src/Operators.hpp:32-41)
+                "max(div)": jnp.max(jnp.abs(div[1:-1, 1:-1])),
+                "res(p)": fl.p_res,
+                "iter(p)": fl.p_iter,
+            }
+            if self.check_nan:
+                for f in ("U", "V", "p"):
+                    out[f"nan({f})"] = jnp.any(jnp.isnan(getattr(fl, f)))
+            if two:
+                out.update({
+                    "min(curv)": jnp.min(state.curv),
+                    "max(curv)": jnp.max(state.curv),
+                    "min(vof)": jnp.min(state.vf),
+                    "max(vof)": jnp.max(state.vf),
+                    "int(vof)": jnp.sum(state.vf[1:-1, 1:-1]) * g.dx * g.dy,
+                })
+            return out
+
+        @jax.jit
+        def fields(state):
+            fl = state.flow if two else state
+            out = {
+                "pressure": fl.p,
+                "divergence": stencil.divergence(fl.U, fl.V, g.dx, g.dy),
+                "velocity_x": stencil.interp_u_center(fl.U),
+                "velocity_y": stencil.interp_v_center(fl.V),
+            }
+            if two:
+                out.update({
+                    "VOF": state.vf,
+                    "curvature": state.curv,
+                    "viscosity": fl.visc,
+                    "density": stencil.interp_uv_center(fl.rho_u, fl.rho_v),
+                })
+            return out
+
+        self._scalars_fn = scalars
+        self._fields_fn = fields
+        self._scalars_cache = None
+        self._fields_cache = None
+
+    def _invalidate_obs(self):
+        self._scalars_cache = None
+        self._fields_cache = None
+
+    def _obs_scalar(self, key):
+        import jax
+
+        if self._scalars_cache is None:
+            self._scalars_cache = jax.device_get(self._scalars_fn(self.state))
+        return self._scalars_cache[key]
+
+    def _obs_field(self, key):
+        import jax
+
+        if self._fields_cache is None:
+            self._fields_cache = jax.device_get(self._fields_fn(self.state))
+        return self._fields_cache[key]
+
     def _setup_writers(self, writer: str):
         g = self.grid
         self.writer = make_data_writer(self.output_dir, g, prefer=writer)
-        self.writer.add_scalar("pressure", lambda: self._flow().p)
-        self.writer.add_scalar(
-            "divergence",
-            lambda: stencil.divergence(self._flow().U, self._flow().V, g.dx, g.dy),
-        )
+        for name in ("pressure", "divergence"):
+            self.writer.add_scalar(name, lambda k=name: self._obs_field(k))
         self.writer.add_vector(
             "velocity",
-            lambda: stencil.interp_u_center(self._flow().U),
-            lambda: stencil.interp_v_center(self._flow().V),
+            lambda: self._obs_field("velocity_x"),
+            lambda: self._obs_field("velocity_y"),
         )
         if self.case.two_phase:
-            self.writer.add_scalar("VOF", lambda: self.state.vf)
-            self.writer.add_scalar("curvature", lambda: self.state.curv)
-            self.writer.add_scalar("viscosity", lambda: self._flow().visc)
-            self.writer.add_scalar(
-                "density",
-                lambda: stencil.interp_uv_center(self._flow().rho_u, self._flow().rho_v),
-            )
+            for name in ("VOF", "curvature", "viscosity", "density"):
+                self.writer.add_scalar(name, lambda k=name: self._obs_field(k))
 
         self.monitor = Monitor(os.path.join(self.output_dir, "monitor.log"))
         mon = self.monitor
-        mon.add_variable(lambda: float(self._flow().t), "time")
-        mon.add_variable(lambda: float(self._flow().dt), "dt")
-        mon.add_variable(lambda: float(jnp.max(jnp.abs(self._flow().U))), "max(U)")
-        mon.add_variable(lambda: float(jnp.max(jnp.abs(self._flow().V))), "max(V)")
-        mon.add_variable(
-            lambda: float(
-                jnp.max(jnp.abs(stencil.divergence(self._flow().U, self._flow().V, g.dx, g.dy)))
-            ),
-            "max(div)",
-        )
-        mon.add_variable(lambda: float(self._flow().p_res), "res(p)")
-        mon.add_variable(lambda: int(self._flow().p_iter), "iter(p)")
+        for name in ("time", "dt", "max(U)", "max(V)", "max(div)", "res(p)"):
+            mon.add_variable(lambda k=name: float(self._obs_scalar(k)), name)
+        mon.add_variable(lambda: int(self._obs_scalar("iter(p)")), "iter(p)")
         if self.case.two_phase:
-            mon.add_variable(lambda: float(jnp.min(self.state.curv)), "min(curv)")
-            mon.add_variable(lambda: float(jnp.max(self.state.curv)), "max(curv)")
-            mon.add_variable(lambda: float(jnp.min(self.state.vf)), "min(vof)")
-            mon.add_variable(lambda: float(jnp.max(self.state.vf)), "max(vof)")
-            init_int = float(jnp.sum(self.state.vf)) * g.dx * g.dy
+            for name in ("min(curv)", "max(curv)", "min(vof)", "max(vof)"):
+                mon.add_variable(lambda k=name: float(self._obs_scalar(k)), name)
+            init_int = float(self._obs_scalar("int(vof)"))
             mon.add_variable(
-                lambda: init_int - float(jnp.sum(self.state.vf)) * g.dx * g.dy, "loss(vof)"
+                lambda: init_int - float(self._obs_scalar("int(vof)")), "loss(vof)"
             )
 
     # -- time loop ---------------------------------------------------------
@@ -105,25 +172,24 @@ class Simulation:
         t_end = self.case.t_end if t_end is None else t_end
         cadence = SaveCadence(self.case.dt_write, t_end)
         if self.save_output:
-            self.writer.write(float(self._flow().t))
+            self.writer.write(float(self._obs_scalar("time")))
             self.monitor.write()
         wall0 = time.perf_counter()
         n = 0
-        while float(self._flow().t) < t_end - 1e-14 and n < max_steps:
+        while float(self._obs_scalar("time")) < t_end - 1e-14 and n < max_steps:
             self.state = self.step(self.state, t_end)
+            self._invalidate_obs()
             n += 1
-            t = float(self._flow().t)
-            dt = float(self._flow().dt)
+            t = float(self._obs_scalar("time"))
+            dt = float(self._obs_scalar("dt"))
             if self.warn_nonconverged:
-                p_res = float(self._flow().p_res)
+                p_res = float(self._obs_scalar("res(p)"))
                 if p_res > self.cfg.pressure_tol:
                     print(f"[{self.case.name}] WARNING: pressure solve did not "
                           f"converge at t={t:.6e}: residual = {p_res:.3e}")
             if self.check_nan:
-                import jax.numpy as jnp
-
                 for fname in ("U", "V", "p"):
-                    if bool(jnp.any(jnp.isnan(getattr(self._flow(), fname)))):
+                    if bool(self._obs_scalar(f"nan({fname})")):
                         raise FloatingPointError(
                             f"NaN in {fname} at step {n}, t={t:.6e}"
                         )

@@ -29,6 +29,7 @@ Early exits (all-gas / all-liquid neighborhoods, src/VOF.hpp:198-214) become
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
@@ -107,12 +108,18 @@ def _clip_halfplane(vx, vy, n, a, b, c):
     out_y = interleave(vy, iy)
     flags = interleave(emit_v, emit_i)
 
-    # stable compaction: flagged slots first, order preserved
+    # stable compaction: flagged slots first, order preserved. Keys are
+    # distinct (pos or 2K+pos), so an unstable variadic sort that co-sorts
+    # the coordinates is equivalent to argsort + 2 gathers and avoids the
+    # two take_along_axis passes on TPU.
     pos = jnp.arange(2 * K)
     keys = jnp.where(flags, pos, 2 * K + pos)
-    order = jnp.argsort(keys, axis=-1)
-    out_x = jnp.take_along_axis(out_x, order, axis=-1)[..., :K]
-    out_y = jnp.take_along_axis(out_y, order, axis=-1)[..., :K]
+    _, out_x, out_y = jax.lax.sort(
+        (jnp.broadcast_to(keys, out_x.shape), out_x, out_y),
+        dimension=-1, num_keys=1,
+    )
+    out_x = out_x[..., :K]
+    out_y = out_y[..., :K]
     new_n = jnp.sum(flags, axis=-1).astype(n.dtype)
     # zero the tail so downstream arithmetic stays finite
     tail = jnp.arange(K) >= new_n[..., None]
