@@ -55,18 +55,25 @@ def _run(warmup: int, n: int):
         state = step(state, 1e9)
         if k % 5 == 4:
             jax.block_until_ready(state.vf)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+    # real completion barrier + first-transfer warmup: block_until_ready can
+    # return BEFORE the device finishes on the axon tunnel (it acks the
+    # dispatch); only a device->host read is a true barrier, and the first
+    # one in a process is sporadically minutes-slow — pay it here, not in
+    # the timed region.
+    float(state.flow.dt)
 
     # Latency-immune timing: the tunneled TPU's host<->device round trip
     # degrades sporadically from ~1 ms to >100 ms, which would swamp a
-    # single timed batch. Time a K-step batch and a 2K-step batch (one sync
-    # each) and difference them — the fixed sync/dispatch latency cancels,
-    # leaving the marginal on-device step time. Median over 3 rounds.
+    # single timed batch. Time a K-step batch and a 2K-step batch (one
+    # drain each) and difference them — the fixed dispatch/drain cost
+    # cancels, leaving the marginal on-device step time. Median over 3
+    # rounds. The drain is a scalar device->host read, NOT
+    # block_until_ready (see above).
     def timed_batch(state, k):
         t0 = time.perf_counter()
         for _ in range(k):
             state = step(state, 1e9)
-        jax.block_until_ready(state.vf)
+        float(state.flow.dt)
         return time.perf_counter() - t0, state
 
     samples = []

@@ -78,19 +78,21 @@ def main():
     def report_dispatched(name, kernel, carry, k=8):
         """fori-free variant (vof.advect faults Mosaic inside fori_loop,
         CLAUDE.md): difference K vs 2K dispatch chains so the fixed
-        per-dispatch latency cancels."""
+        per-dispatch latency cancels. Drain via device->host read — see
+        common._drain."""
         import time as _t
 
+        from common import _drain
+
         jitted = jax.jit(kernel)
-        out = jitted(carry)
-        jax.block_until_ready(out)
+        _drain(jitted(carry))
 
         def run(m):
             c = carry
             t0 = _t.perf_counter()
             for _ in range(m):
                 c = jitted(c)
-            jax.block_until_ready(c)
+            _drain(c)
             return _t.perf_counter() - t0
 
         samples = []
