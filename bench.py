@@ -50,11 +50,14 @@ def _run(warmup: int, n: int):
     state = twophase.init_two_phase_state(g, cfg, vf0, dtype=jnp.float32)
     step = twophase.make_step(g, cfg)
 
-    # compile + develop the flow (chunked syncs keep the tunneled TPU stable)
+    # compile + develop the flow. Chunked REAL drains (scalar reads) keep
+    # the tunneled TPU stable: block_until_ready does not pace (it acks the
+    # dispatch, not completion) and an unpaced multi-step queue crashes the
+    # axon worker with UNAVAILABLE.
     for k in range(warmup):
         state = step(state, 1e9)
-        if k % 5 == 4:
-            jax.block_until_ready(state.vf)
+        if k % 2 == 1:
+            float(state.flow.dt)
     # real completion barrier + first-transfer warmup: block_until_ready can
     # return BEFORE the device finishes on the axon tunnel (it acks the
     # dispatch); only a device->host read is a true barrier, and the first

@@ -53,8 +53,11 @@ def main():
     # develop the flow so every stage sees representative data
     for k in range(10):
         state = step(state, 1e9)
-        if k % 5 == 4:
-            jax.block_until_ready(state.vf)
+        if k % 2 == 1:
+            # real drain: block_until_ready does not pace the tunnel (it
+            # acks dispatch, not completion) and an unpaced multi-step
+            # queue crashes the axon worker with UNAVAILABLE
+            float(state.flow.dt)
 
     fs = state.flow
     vf = state.vf
