@@ -3,7 +3,9 @@
 (No direct reference analog — the IRL hot loop is timed only inside full
 cases there; this isolates the geometric kernels.)
 
-Usage: python bench_suite/vof.py [N]
+Usage: python bench_suite/vof.py [N] [max_active]
+  max_active: lane budget of the sparse path (0 = dense all-cells batch,
+  default = auto). Compare the two to quantify the sparse win.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ def main():
     from fluidsolver_tpu.vof.init import liquid_fraction_from_indicator
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    max_active = int(sys.argv[2]) if len(sys.argv) > 2 else None
     g = make_grid(0.0, 1.0, n, 0.0, 1.0, n)
     vf = jnp.asarray(
         liquid_fraction_from_indicator(
@@ -43,10 +46,11 @@ def main():
     @jax.jit
     def step_kernel(vf, U, V, Ui, Vi):
         rec = plic.elvira(vf, g.dx, g.dy)
-        return adv.advect(vf, rec, U, V, Ui, Vi, g, dt)[0]
+        return adv.advect(vf, rec, U, V, Ui, Vi, g, dt, max_active=max_active)[0]
 
     mean, std = time_fn(step_kernel, vf, U, V, Ui, Vi)
-    print(f"elvira+advect {n}x{n}: {mean * 1e3:.3f} ± {std * 1e3:.3f} ms")
+    mode = "dense" if max_active == 0 else f"sparse({max_active or adv.default_max_active(n, n)})"
+    print(f"elvira+advect {n}x{n} [{mode}]: {mean * 1e3:.3f} ± {std * 1e3:.3f} ms")
 
 
 if __name__ == "__main__":

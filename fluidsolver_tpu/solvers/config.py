@@ -87,3 +87,8 @@ class SolverConfig:
     # cases (examples/ExpandingBubble.cpp:222-241, 310-321): shifts the PLIC
     # planes into the liquid and adds the volume-expansion divergence source
     phase_change_mdot: Optional[float] = None
+
+    # lane budget of the sparse active-cell VOF advection (vof/advect.py):
+    # None = auto (default_max_active), 0 = dense all-cells path. Overflow
+    # (interface longer than the budget) surfaces as an inf volume error.
+    vof_max_active: Optional[int] = None

@@ -238,7 +238,10 @@ def make_step(grid: Grid, cfg: SolverConfig):
         # geometric VOF advection with the current velocity
         Ui = stencil.interp_u_center(fs.U)
         Vi = stencil.interp_v_center(fs.V)
-        vf, vol_err = adv.advect(vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt)
+        vf, vol_err = adv.advect(
+            vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt,
+            max_active=cfg.vof_max_active,
+        )
 
         # viscosity from the NEW vf (TwoPhaseSolver.cpp:279)
         visc = mom.mix_visc(vf, cfg.visc_gas, cfg.visc_liquid, cfg.arithmetic_visc)

@@ -115,3 +115,49 @@ def test_constant_velocity_vof_full():
         g, vf, U, V, 5e-3, 120,
         check_com=lambda c0, t: (c0[0] + t * U0, c0[1] + t * V0),
     )
+
+
+def test_sparse_matches_dense():
+    """The sparse active-cell path (the default; reference analog:
+    ParallelDynamic over mixed cells, src/VOF.hpp:318-332) must reproduce
+    the dense all-cells batch to rounding on a deforming shear flow."""
+    g = make_grid(0.0, 1.0, 96, 0.0, 1.0, 96)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.35) ** 2 + (y - 0.4) ** 2 <= 0.18**2, g
+        )
+    )
+    Xu, Yu = np.meshgrid(g.x, g.ym, indexing="ij")
+    Xv, Yv = np.meshgrid(g.xm, g.y, indexing="ij")
+    U = jnp.asarray(0.6 + 0.4 * Yu)
+    V = jnp.asarray(0.3 - 0.2 * Xv)
+    Ui = stencil.interp_u_center(U)
+    Vi = stencil.interp_v_center(V)
+    dt = 0.4 * g.dx
+
+    vf_d = vf_s = vf
+    for _ in range(6):
+        rec = plic.elvira(vf_d, g.dx, g.dy)
+        vf_d, err_d = adv.advect(vf_d, rec, U, V, Ui, Vi, g, dt, max_active=0)
+        rec = plic.elvira(vf_s, g.dx, g.dy)
+        vf_s, err_s = adv.advect(vf_s, rec, U, V, Ui, Vi, g, dt)
+    assert float(jnp.max(jnp.abs(vf_d - vf_s))) < 1e-14
+    assert abs(float(err_d) - float(err_s)) < 1e-18
+
+
+def test_sparse_overflow_is_loud():
+    """More active cells than lanes must surface as an inf volume error,
+    never silent truncation."""
+    g = make_grid(0.0, 1.0, 64, 0.0, 1.0, 64)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.5) ** 2 + (y - 0.5) ** 2 <= 0.25**2, g
+        )
+    )
+    U = jnp.full(g.shape_u, 1.0)
+    V = jnp.full(g.shape_v, 0.5)
+    Ui = stencil.interp_u_center(U)
+    Vi = stencil.interp_v_center(V)
+    rec = plic.elvira(vf, g.dx, g.dy)
+    _, err = adv.advect(vf, rec, U, V, Ui, Vi, g, 5e-3, max_active=8)
+    assert not np.isfinite(float(err))
