@@ -212,7 +212,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
         vf_old = state.vf
 
         # reconstruct vf_old; rho from vf_old; rotate density
-        rec = plic.elvira(vf_old, grid.dx, grid.dy)
+        rec = plic.elvira(vf_old, grid.dx, grid.dy, max_mixed=cfg.vof_max_active)
         rho_u, rho_v = mom.mix_rho_staggered(vf_old, cfg.rho_gas, cfg.rho_liquid, fs.rho_u, fs.rho_v)
         fs = dataclasses.replace(fs, rho_u=rho_u, rho_v=rho_v, rho_u_old=rho_u, rho_v_old=rho_v)
 
@@ -242,6 +242,8 @@ def make_step(grid: Grid, cfg: SolverConfig):
             vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt,
             max_active=cfg.vof_max_active,
         )
+        # a reconstruction lane overflow also invalidates the advection
+        vol_err = jnp.where(rec.overflow, jnp.inf, vol_err)
 
         # viscosity from the NEW vf (TwoPhaseSolver.cpp:279)
         visc = mom.mix_visc(vf, cfg.visc_gas, cfg.visc_liquid, cfg.arithmetic_visc)
@@ -259,7 +261,9 @@ def make_step(grid: Grid, cfg: SolverConfig):
 
             curv = curvature_convolved_vf(vf_old, rec, grid)
         else:
-            curv = curvature_quad_volume_matching(vf_old, rec, grid)
+            curv = curvature_quad_volume_matching(
+                vf_old, rec, grid, max_mixed=cfg.vof_max_active
+            )
         iface_len = plic.interface_length(rec, grid.dx, grid.dy)
 
         # fori_loop (not Python unroll): the subiteration body — including the

@@ -19,7 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from fluidsolver_tpu.core.grid import Grid
-from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift, segment_endpoints
+from fluidsolver_tpu.vof.plic import (
+    Plic,
+    _NEIGHBOR_OFFSETS,
+    _shift,
+    default_max_mixed,
+    segment_endpoints,
+    segment_endpoints_vals,
+)
 
 
 def _solve3_cramer(A, d):
@@ -40,26 +47,13 @@ def _solve3_cramer(A, d):
     return det0 / det, det1 / det, det2 / det
 
 
-def curvature_quad_volume_matching(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -> jnp.ndarray:
-    """Curvature on the full ghost box (interior mixed cells; 0 elsewhere)."""
-    dx, dy = grid.dx, grid.dy
-    dtype = vf_old.dtype
+def _vm_core(nb, t_nx, t_ny, dx, dy, dtype):
+    """Volume-matching fit on a 3x3 neighborhood representation.
 
-    # segments in cell-local coords for every cell (garbage where invalid)
-    p0, p1 = segment_endpoints(rec, dx, dy)
-    seg_x0 = p0[..., 0]
-    seg_y0 = p0[..., 1]
-    seg_x1 = p1[..., 0]
-    seg_y1 = p1[..., 1]
-
-    # target-cell interior views
-    t_x0 = _shift(seg_x0, 0, 0)
-    t_y0 = _shift(seg_y0, 0, 0)
-    t_x1 = _shift(seg_x1, 0, 0)
-    t_y1 = _shift(seg_y1, 0, 0)
-    t_nx = _shift(rec.nx, 0, 0)
-    t_ny = _shift(rec.ny, 0, 0)
-    t_valid = _shift(rec.valid, 0, 0)
+    ``nb[(di, dj)]`` = (seg_x0, seg_y0, seg_x1, seg_y1, valid) arrays of a
+    common batch shape (dense: shifted interior views; sparse: gathered
+    lanes). Returns the curvature of the (0, 0) cell, already masked."""
+    t_x0, t_y0, t_x1, t_y1, t_valid = nb[(0, 0)]
 
     # rotation taking the target normal to (0,-1)
     # (src/Curvature.hpp:89-124: angle = acos(-n_y), mirrored if n_x > 0)
@@ -75,10 +69,11 @@ def curvature_quad_volume_matching(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -
     def rotate_shifted(di, dj):
         """Neighbor segment endpoints shifted into the target frame and
         rotated about (cx, cy)."""
-        xs0 = _shift(seg_x0, di, dj) + di * dx - cx
-        ys0 = _shift(seg_y0, di, dj) + dj * dy - cy
-        xs1 = _shift(seg_x1, di, dj) + di * dx - cx
-        ys1 = _shift(seg_y1, di, dj) + dj * dy - cy
+        xs0, ys0, xs1, ys1, m = nb[(di, dj)]
+        xs0 = xs0 + di * dx - cx
+        ys0 = ys0 + dj * dy - cy
+        xs1 = xs1 + di * dx - cx
+        ys1 = ys1 + dj * dy - cy
         rx0 = ca * xs0 - sa * ys0
         ry0 = sa * xs0 + ca * ys0
         rx1 = ca * xs1 - sa * ys1
@@ -89,12 +84,6 @@ def curvature_quad_volume_matching(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -
         by = jnp.where(swap, ry1, ry0)
         ex = jnp.where(swap, rx0, rx1)
         ey = jnp.where(swap, ry0, ry1)
-        if di == 0 and dj == 0:
-            m = t_valid
-        else:
-            # interior mixed neighbors only (is_valid_interior_index check,
-            # src/Curvature.hpp:236-240): rec.valid is already False on ghosts
-            m = _shift(rec.valid, di, dj)
         # masked-out cells can carry degenerate (zero-length) segments whose
         # slope is 0/0; replace them with a dummy unit segment so the weighted
         # accumulation below never sees NaN (0 * NaN != 0)
@@ -134,10 +123,72 @@ def curvature_quad_volume_matching(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -
 
     curv = jnp.where(jnp.isfinite(curv), curv, 0.0)
     # single-segment cells get 0 (src/Curvature.hpp:243-246)
-    curv = jnp.where(t_valid & (count > 1), curv, 0.0)
+    return jnp.where(t_valid & (count > 1), curv, 0.0)
 
-    out = jnp.zeros_like(vf_old)
-    return out.at[1:-1, 1:-1].set(curv)
+
+def curvature_quad_volume_matching(
+    vf_old: jnp.ndarray, rec: Plic, grid: Grid, max_mixed=None
+) -> jnp.ndarray:
+    """Curvature on the full ghost box (interior mixed cells; 0 elsewhere).
+
+    ``max_mixed``: lane budget of the sparse mixed-cells-only path (None =
+    auto, 0 = dense all-cells; same convention as plic.elvira). The two are
+    bit-identical — curvature is zero off the mixed set by construction."""
+    if max_mixed is None:
+        max_mixed = default_max_mixed(vf_old.shape[0] - 2, vf_old.shape[1] - 2)
+    if max_mixed:
+        return _curvature_vm_sparse(vf_old, rec, grid, int(max_mixed))
+    return _curvature_vm_dense(vf_old, rec, grid)
+
+
+def _curvature_vm_dense(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -> jnp.ndarray:
+    dx, dy = grid.dx, grid.dy
+
+    # segments in cell-local coords for every cell (garbage where invalid)
+    p0, p1 = segment_endpoints(rec, dx, dy)
+    seg_x0 = p0[..., 0]
+    seg_y0 = p0[..., 1]
+    seg_x1 = p1[..., 0]
+    seg_y1 = p1[..., 1]
+
+    # interior mixed neighbors only (is_valid_interior_index check,
+    # src/Curvature.hpp:236-240): rec.valid is already False on ghosts
+    nb = {
+        (di, dj): (
+            _shift(seg_x0, di, dj), _shift(seg_y0, di, dj),
+            _shift(seg_x1, di, dj), _shift(seg_y1, di, dj),
+            _shift(rec.valid, di, dj),
+        )
+        for di, dj in _NEIGHBOR_OFFSETS
+    }
+    curv = _vm_core(nb, _shift(rec.nx, 0, 0), _shift(rec.ny, 0, 0), dx, dy, vf_old.dtype)
+    return jnp.zeros_like(vf_old).at[1:-1, 1:-1].set(curv)
+
+
+def _curvature_vm_sparse(vf_old: jnp.ndarray, rec: Plic, grid: Grid, m: int) -> jnp.ndarray:
+    """Mixed-cells-only volume-matching fit: gather each mixed cell's 3x3
+    PLIC neighborhood into ``m`` lanes, fit there, scatter back (curvature is
+    identically zero off the mixed set). Lane overflow is already flagged by
+    the reconstruction (Plic.overflow uses the same sizing rule)."""
+    dx, dy = grid.dx, grid.dy
+    nxc, nyc = vf_old.shape[0] - 2, vf_old.shape[1] - 2
+    mixed_int = rec.valid[1:-1, 1:-1]
+    ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+
+    nb = {}
+    for di, dj in _NEIGHBOR_OFFSETS:
+        pnx = rec.nx[1 + ii + di, 1 + jj + dj]
+        pny = rec.ny[1 + ii + di, 1 + jj + dj]
+        pd = rec.d[1 + ii + di, 1 + jj + dj]
+        p0, p1 = segment_endpoints_vals(pnx, pny, pd, dx, dy)
+        nb[(di, dj)] = (
+            p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1],
+            rec.valid[1 + ii + di, 1 + jj + dj],
+        )
+    t_nx = rec.nx[1 + ii, 1 + jj]
+    t_ny = rec.ny[1 + ii, 1 + jj]
+    curv = _vm_core(nb, t_nx, t_ny, dx, dy, vf_old.dtype)
+    return jnp.zeros_like(vf_old).at[1 + ii, 1 + jj].set(curv, mode="drop")
 
 
 def curvature_quad_regression(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -> jnp.ndarray:

@@ -43,6 +43,9 @@ class Plic:
     ny: jnp.ndarray
     d: jnp.ndarray
     valid: jnp.ndarray  # bool: interior mixed cell with a reconstruction
+    # scalar bool: the sparse reconstruction ran out of lanes (more mixed
+    # cells than the budget) — reconstructions are missing; fail loudly
+    overflow: jnp.ndarray = None
 
 
 def _pos_area(a, b, c, w, h):
@@ -136,18 +139,10 @@ def _shift(f, di, dj):
     return f[1 + di : f.shape[0] - 1 + di, 1 + dj : f.shape[1] - 1 + dj]
 
 
-def elvira(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
-    """Vectorized ELVIRA reconstruction over all interior cells.
-
-    Candidate normals from backward/central/forward column- and row-height
-    slopes (both orientations, 12 candidates); the winner minimizes the
-    squared mismatch of reproduced fractions over the 3x3 neighborhood —
-    the same finite search as IRL's ELVIRA (reconstruction is exact for
-    linear interfaces).
-    """
-    nxc, nyc = vf.shape[0] - 2, vf.shape[1] - 2
-    vfn = {(di, dj): _shift(vf, di, dj) for di, dj in _NEIGHBOR_OFFSETS}
-
+def _elvira_candidates(vfn, dx: float, dy: float):
+    """The 12-candidate ELVIRA search on a gathered/shifted 3x3 neighborhood
+    dict ``vfn[(di, dj)]`` of identically-shaped arrays. Returns the winning
+    (nx, ny, d) per element."""
     # column heights (integrals of vf along y) and row heights
     col = {di: (vfn[(di, -1)] + vfn[(di, 0)] + vfn[(di, 1)]) * dy for di in (-1, 0, 1)}
     row = {dj: (vfn[(-1, dj)] + vfn[(0, dj)] + vfn[(1, dj)]) * dx for dj in (-1, 0, 1)}
@@ -176,7 +171,7 @@ def elvira(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
         norm = jnp.sqrt(s * s + 1.0)
         cand_nx += [jnp.broadcast_to(1.0 / norm, s.shape), jnp.broadcast_to(-1.0 / norm, s.shape)]
         cand_ny += [-s / norm, -s / norm]
-    cnx = jnp.stack(cand_nx)  # (12, nxc, nyc)
+    cnx = jnp.stack(cand_nx)  # (12, ...)
     cny = jnp.stack(cand_ny)
 
     vf0 = vfn[(0, 0)]
@@ -192,8 +187,40 @@ def elvira(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
     best_nx = jnp.take_along_axis(cnx, best, axis=0)[0]
     best_ny = jnp.take_along_axis(cny, best, axis=0)[0]
     best_d = jnp.take_along_axis(d, best, axis=0)[0]
+    return best_nx, best_ny, best_d
 
-    valid_int = has_interface(vf0)
+
+def default_max_mixed(nx: int, ny: int) -> int:
+    """Mixed-cell lane budget for the sparse reconstruction (same sizing
+    rule as vof.advect.default_max_active — the mixed set is a subset of the
+    advection's active set)."""
+    return min(nx * ny, max(4096, 16 * max(nx, ny)))
+
+
+def elvira(vf: jnp.ndarray, dx: float, dy: float, max_mixed=None) -> Plic:
+    """ELVIRA reconstruction: candidate normals from backward/central/forward
+    column- and row-height slopes (both orientations, 12 candidates); the
+    winner minimizes the squared mismatch of reproduced fractions over the
+    3x3 neighborhood — the same finite search as IRL's ELVIRA
+    (reconstruction is exact for linear interfaces).
+
+    ``max_mixed``: lane budget of the sparse mixed-cells-only path (None =
+    auto, 0 = dense all-cells). The sparse path reconstructs exactly the
+    ``valid`` cells (bit-identical there); dense additionally leaves
+    (unused, ``valid``-gated) candidate values on non-mixed cells. Lane
+    overflow sets ``Plic.overflow`` — consumed as an inf volume error by the
+    solvers."""
+    if max_mixed is None:
+        max_mixed = default_max_mixed(vf.shape[0] - 2, vf.shape[1] - 2)
+    if max_mixed:
+        return _elvira_sparse(vf, dx, dy, int(max_mixed))
+    return _elvira_dense(vf, dx, dy)
+
+
+def _elvira_dense(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
+    vfn = {(di, dj): _shift(vf, di, dj) for di, dj in _NEIGHBOR_OFFSETS}
+    best_nx, best_ny, best_d = _elvira_candidates(vfn, dx, dy)
+    valid_int = has_interface(vfn[(0, 0)])
 
     # embed back into the full ghost box (ghost cells: no reconstruction,
     # mirroring the reference's interior-only ELVIRA loop)
@@ -205,6 +232,32 @@ def elvira(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
         ny=embed(best_ny, 1.0),
         d=embed(best_d, 0.0),
         valid=jnp.zeros(vf.shape, bool).at[1:-1, 1:-1].set(valid_int),
+        overflow=jnp.zeros((), bool),
+    )
+
+
+def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
+    """Mixed-cells-only ELVIRA: gather the 3x3 neighborhoods of the mixed
+    cells into ``m`` lanes, run the identical candidate search, scatter the
+    winners back (non-mixed cells keep the no-reconstruction fill)."""
+    nxc, nyc = vf.shape[0] - 2, vf.shape[1] - 2
+    mixed_int = has_interface(vf[1:-1, 1:-1])
+    n_mixed = jnp.sum(mixed_int)
+    ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+
+    vfn = {(di, dj): vf[1 + ii + di, 1 + jj + dj] for di, dj in _NEIGHBOR_OFFSETS}
+    best_nx, best_ny, best_d = _elvira_candidates(vfn, dx, dy)
+
+    def scatter(vals, fill):
+        full = jnp.full(vf.shape, fill, vf.dtype)
+        return full.at[1 + ii, 1 + jj].set(vals, mode="drop")
+
+    return Plic(
+        nx=scatter(best_nx, 0.0),
+        ny=scatter(best_ny, 1.0),
+        d=scatter(best_d, 0.0),
+        valid=jnp.zeros(vf.shape, bool).at[1:-1, 1:-1].set(mixed_int),
+        overflow=n_mixed > m,
     )
 
 
@@ -218,6 +271,13 @@ def segment_endpoints(plic: Plic, w: float, h: float, eps_rel: float = 1e-6):
     (The bounds tolerance is relative to the cell size; the reference uses
     an absolute 1e-6, src/VOF.hpp:384.)
     """
+    return segment_endpoints_vals(plic.nx, plic.ny, plic.d, w, h, eps_rel)
+
+
+def segment_endpoints_vals(pnx, pny, pd, w: float, h: float, eps_rel: float = 1e-6):
+    """``segment_endpoints`` on raw (nx, ny, d) arrays of any shape (used by
+    the sparse gathered-lanes curvature path)."""
+    plic = Plic(nx=pnx, ny=pny, d=pd, valid=None)
     corners = [
         (0.0, 0.0),
         (w, 0.0),

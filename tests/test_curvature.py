@@ -64,3 +64,19 @@ def test_gas_bubble_negative_curvature():
     vals = np.asarray(curv)[np.asarray(rec.valid)]
     rel_err = np.abs(vals + 4.0) / 4.0
     assert np.median(rel_err) < 5e-3, float(np.median(rel_err))
+
+
+def test_sparse_curvature_matches_dense():
+    """Sparse mixed-cells volume-matching fit == dense path everywhere."""
+    from fluidsolver_tpu.vof.init import liquid_fraction_from_indicator
+
+    g = make_grid(0.0, 1.0, 96, 0.0, 1.0, 96)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.45) ** 2 + (y - 0.55) ** 2 <= 0.22**2, g
+        )
+    )
+    rec = plic.elvira(vf, g.dx, g.dy)
+    c_d = curvature_quad_volume_matching(vf, rec, g, max_mixed=0)
+    c_s = curvature_quad_volume_matching(vf, rec, g)
+    assert float(jnp.max(jnp.abs(c_d - c_s))) == 0.0

@@ -116,3 +116,27 @@ def test_interface_length_circle():
     rec = plic.elvira(jnp.asarray(vf), g.dx, g.dy)
     total = float(jnp.sum(plic.interface_length(rec, g.dx, g.dy)))
     assert abs(total - 2 * np.pi * r) / (2 * np.pi * r) < 0.01, total
+
+
+def test_sparse_elvira_matches_dense():
+    """Mixed-cells-only ELVIRA (the default) must agree with the dense
+    all-cells search on every valid cell, and flag lane overflow."""
+    import numpy as np
+
+    from fluidsolver_tpu.vof.init import liquid_fraction_from_indicator
+
+    g = make_grid(0.0, 1.0, 96, 0.0, 1.0, 96)
+    vf = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.45) ** 2 + (y - 0.55) ** 2 <= 0.22**2, g
+        )
+    )
+    rec_d = plic.elvira(vf, g.dx, g.dy, max_mixed=0)
+    rec_s = plic.elvira(vf, g.dx, g.dy)
+    assert bool(jnp.all(rec_d.valid == rec_s.valid))
+    for name in ("nx", "ny", "d"):
+        a = getattr(rec_d, name)
+        b = getattr(rec_s, name)
+        assert float(jnp.max(jnp.abs(jnp.where(rec_d.valid, a - b, 0.0)))) == 0.0
+    assert not bool(rec_s.overflow)
+    assert bool(plic.elvira(vf, g.dx, g.dy, max_mixed=4).overflow)
