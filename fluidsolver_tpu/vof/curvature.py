@@ -172,8 +172,13 @@ def _curvature_vm_sparse(vf_old: jnp.ndarray, rec: Plic, grid: Grid, m: int) -> 
     the reconstruction (Plic.overflow uses the same sizing rule)."""
     dx, dy = grid.dx, grid.dy
     nxc, nyc = vf_old.shape[0] - 2, vf_old.shape[1] - 2
-    mixed_int = rec.valid[1:-1, 1:-1]
-    ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+    if rec.lane_i is not None and rec.lane_i.shape[0] == m:
+        # the reconstruction already gathered exactly this mixed set — reuse
+        # its lane indices instead of paying a second nonzero pass
+        ii, jj = rec.lane_i, rec.lane_j
+    else:
+        mixed_int = rec.valid[1:-1, 1:-1]
+        ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
 
     nb = {}
     for di, dj in _NEIGHBOR_OFFSETS:

@@ -46,6 +46,11 @@ class Plic:
     # scalar bool: the sparse reconstruction ran out of lanes (more mixed
     # cells than the budget) — reconstructions are missing; fail loudly
     overflow: jnp.ndarray = None
+    # mixed-cell lane indices of the sparse reconstruction (interior coords,
+    # padded with an out-of-bounds fill) — downstream sparse consumers
+    # (curvature, interface_length) reuse them instead of re-running nonzero
+    lane_i: jnp.ndarray = None
+    lane_j: jnp.ndarray = None
 
 
 def _pos_area(a, b, c, w, h):
@@ -258,6 +263,8 @@ def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
         d=scatter(best_d, 0.0),
         valid=jnp.zeros(vf.shape, bool).at[1:-1, 1:-1].set(mixed_int),
         overflow=n_mixed > m,
+        lane_i=ii,
+        lane_j=jj,
     )
 
 
@@ -327,7 +334,19 @@ def segment_endpoints_vals(pnx, pny, pd, w: float, h: float, eps_rel: float = 1e
 
 def interface_length(plic: Plic, w: float, h: float):
     """Per-cell PLIC segment length; 0 where no interface
-    (src/VOF.hpp:335-365)."""
+    (src/VOF.hpp:335-365).
+
+    When the reconstruction ran sparse, the segment geometry is evaluated on
+    its gathered mixed-cell lanes only (the length is identically zero off
+    the mixed set) and scattered back — bit-identical to the dense path."""
+    if plic.lane_i is not None:
+        ii, jj = plic.lane_i, plic.lane_j
+        p0, p1 = segment_endpoints_vals(
+            plic.nx[1 + ii, 1 + jj], plic.ny[1 + ii, 1 + jj], plic.d[1 + ii, 1 + jj], w, h
+        )
+        length = jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=-1))
+        full = jnp.zeros(plic.valid.shape, length.dtype)
+        return full.at[1 + ii, 1 + jj].set(length, mode="drop")
     p0, p1 = segment_endpoints(plic, w, h)
     length = jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=-1))
     return jnp.where(plic.valid, length, 0.0)
