@@ -1,0 +1,119 @@
+"""A/B matrix for the opt-in fused/precision variants, gated on TPU health.
+
+The axon TPU degrades for hours at a time (CLAUDE.md); quantifying the
+Pallas kernels in a degraded window is meaningless. This harness loops:
+probe health (tools/tpu_health.py) -> if degraded sleep and retry -> if
+healthy, run the full variant matrix via ``bench.py --single`` subprocesses
+(developed-flow timing, differenced batches) and append JSON lines to
+``output/ab_matrix.jsonl``. Each line: {config, n, ms, health} — a health
+re-probe after each variant discards rows measured across a degradation
+onset.
+
+Variants:
+  base            current defaults (XLA sweeps, f32 V-cycle)
+  vcycle          FS_PALLAS_VCYCLE=1  (poisson/pallas_vcycle.py)
+  momentum        FS_PALLAS_MOMENTUM=1 (ops/pallas_momentum.py)
+  both            both Pallas kernels
+  bf16            pressure_precond_dtype=bfloat16 (half-traffic V-cycle)
+  both+bf16       everything
+
+Usage: python bench_suite/ab_matrix.py [max_hours] (default 6)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "output", "ab_matrix.jsonl")
+
+VARIANTS = [
+    ("base", {}),
+    ("vcycle", {"FS_PALLAS_VCYCLE": "1"}),
+    ("momentum", {"FS_PALLAS_MOMENTUM": "1"}),
+    ("both", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1"}),
+    ("bf16", {"FS_PRECOND_DTYPE": "bfloat16"}),
+    ("both+bf16", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
+                   "FS_PRECOND_DTYPE": "bfloat16"}),
+]
+SIZES = [512, 1024]
+WARMUP = 20
+
+
+def probe_health() -> tuple[bool, str]:
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "tpu_health.py")],
+            capture_output=True, text=True, timeout=420,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "degraded ? ?"
+        return line.startswith("healthy"), line
+    except Exception as e:
+        return False, f"degraded ({type(e).__name__})"
+
+
+def run_variant(name, env_extra, n) -> dict | None:
+    env = dict(os.environ)
+    # kill any inherited A/B flags, then apply this variant's
+    for k in ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_DTYPE"):
+        env.pop(k, None)
+    env.update(env_extra)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py"), "--single",
+             str(WARMUP), str(n)],
+            capture_output=True, text=True, timeout=1500, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return {"config": name, "n": n, "error": "timeout"}
+    if out.returncode == 0 and out.stdout.strip().startswith("{"):
+        row = json.loads(out.stdout.strip().splitlines()[-1])
+        return {"config": name, "n": n, "ms": row["value"],
+                "p_iter_per_step": row.get("p_iter_per_step"),
+                "samples_ms": row.get("samples_ms"),
+                "checksum": row.get("checksum")}
+    return {"config": name, "n": n, "error": out.stderr[-300:]}
+
+
+def main():
+    max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
+    deadline = time.time() + max_hours * 3600
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+
+    while time.time() < deadline:
+        ok, line = probe_health()
+        print(f"[{time.strftime('%H:%M:%S')}] health: {line}", flush=True)
+        if not ok:
+            time.sleep(300)
+            continue
+        # healthy window: run the matrix, re-probing between variants
+        with open(OUT, "a") as f:
+            for n in SIZES:
+                for name, env_extra in VARIANTS:
+                    if time.time() > deadline:
+                        return
+                    row = run_variant(name, env_extra, n)
+                    ok2, line2 = probe_health()
+                    row["health_after"] = line2
+                    row["ts"] = time.time()
+                    f.write(json.dumps(row) + "\n")
+                    f.flush()
+                    print(json.dumps(row), flush=True)
+                    if not ok2:
+                        print("window degraded mid-matrix; pausing", flush=True)
+                        break
+                else:
+                    continue
+                break
+            else:
+                print("matrix complete", flush=True)
+                return
+    print("deadline reached", flush=True)
+
+
+if __name__ == "__main__":
+    main()

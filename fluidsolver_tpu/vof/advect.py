@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
 from fluidsolver_tpu.core.grid import Grid
 from fluidsolver_tpu.ops.stencil import sample_centered
-from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift
+from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift, clamp_lanes
 
 K = 16  # vertex buffer size: octagon (8) + 4 rect clips + PLIC clip <= 13
 
@@ -247,6 +247,7 @@ def advect(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, max_active=None):
     ``default_max_active``); 0 = dense all-cells path. If the interface
     outgrows the budget the returned volume error is ``inf`` (loud failure;
     raise the budget)."""
+    vf_old = jnp.asarray(vf_old)  # tolerate numpy input at the API boundary
     if max_active is None:
         max_active = default_max_active(grid.nx, grid.ny)
     if max_active:
@@ -324,17 +325,19 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
     all_gas, all_liq = _classify(vf_old, nx, ny, dtype)
     active = ~(all_gas | all_liq)
     n_active = jnp.sum(active)
-    # fill index is far out of bounds: gathers clamp (harmless), the final
-    # scatter uses mode="drop"
+    # fill index is far out of bounds so the final scatter (mode="drop")
+    # discards those lanes; all GATHERS go through the clamped copies so the
+    # eager (non-jit) public API works too (plic.clamp_lanes)
     ii, jj = jnp.nonzero(active, size=m, fill_value=nx * ny)
+    iig, jjg = clamp_lanes(ii, jj, nx, ny)
 
     # ---- per-active-cell corners, backtracked ------------------------------
     gx = jnp.asarray(grid.x[1:-1], dtype)  # corner coords, faces 0..nx
     gy = jnp.asarray(grid.y[1:-1], dtype)
-    x_lo_c = gx[ii]
-    x_hi_c = gx[jnp.minimum(ii + 1, nx)]
-    y_lo_c = gy[jj]
-    y_hi_c = gy[jnp.minimum(jj + 1, ny)]
+    x_lo_c = gx[iig]
+    x_hi_c = gx[iig + 1]
+    y_lo_c = gy[jjg]
+    y_hi_c = gy[jjg + 1]
     # 4 corners per lane: (m, 4) with order p00, p10, p11, p01
     px = jnp.stack([x_lo_c, x_hi_c, x_hi_c, x_lo_c], axis=-1)
     py = jnp.stack([y_lo_c, y_lo_c, y_hi_c, y_hi_c], axis=-1)
@@ -345,7 +348,7 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
 
     oct_x, oct_y, n8 = _build_octagon(
         ax[:, 0], ay[:, 0], ax[:, 1], ay[:, 1], ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3],
-        U[1 + ii, 1 + jj], U[2 + ii, 1 + jj], V[1 + ii, 1 + jj], V[1 + ii, 2 + jj],
+        U[1 + iig, 1 + jjg], U[2 + iig, 1 + jjg], V[1 + iig, 1 + jjg], V[1 + iig, 2 + jjg],
         dx, dy, dt, dtype,
     )
 
@@ -355,7 +358,7 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
 
     # ---- gathered 3x3 neighborhood -----------------------------------------
     def nb(f):
-        return jnp.stack([f[1 + ii + di, 1 + jj + dj] for di, dj in _NEIGHBOR_OFFSETS])
+        return jnp.stack([f[1 + iig + di, 1 + jjg + dj] for di, dj in _NEIGHBOR_OFFSETS])
 
     vf_nb = nb(vf_old)
     mixed = nb(rec.valid)

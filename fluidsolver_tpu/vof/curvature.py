@@ -23,6 +23,7 @@ from fluidsolver_tpu.vof.plic import (
     Plic,
     _NEIGHBOR_OFFSETS,
     _shift,
+    clamp_lanes,
     default_max_mixed,
     segment_endpoints,
     segment_endpoints_vals,
@@ -179,19 +180,20 @@ def _curvature_vm_sparse(vf_old: jnp.ndarray, rec: Plic, grid: Grid, m: int) -> 
     else:
         mixed_int = rec.valid[1:-1, 1:-1]
         ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+    iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
 
     nb = {}
     for di, dj in _NEIGHBOR_OFFSETS:
-        pnx = rec.nx[1 + ii + di, 1 + jj + dj]
-        pny = rec.ny[1 + ii + di, 1 + jj + dj]
-        pd = rec.d[1 + ii + di, 1 + jj + dj]
+        pnx = rec.nx[1 + iig + di, 1 + jjg + dj]
+        pny = rec.ny[1 + iig + di, 1 + jjg + dj]
+        pd = rec.d[1 + iig + di, 1 + jjg + dj]
         p0, p1 = segment_endpoints_vals(pnx, pny, pd, dx, dy)
         nb[(di, dj)] = (
             p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1],
-            rec.valid[1 + ii + di, 1 + jj + dj],
+            rec.valid[1 + iig + di, 1 + jjg + dj],
         )
-    t_nx = rec.nx[1 + ii, 1 + jj]
-    t_ny = rec.ny[1 + ii, 1 + jj]
+    t_nx = rec.nx[1 + iig, 1 + jjg]
+    t_ny = rec.ny[1 + iig, 1 + jjg]
     curv = _vm_core(nb, t_nx, t_ny, dx, dy, vf_old.dtype)
     return jnp.zeros_like(vf_old).at[1 + ii, 1 + jj].set(curv, mode="drop")
 

@@ -241,6 +241,17 @@ def _elvira_dense(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
     )
 
 
+def clamp_lanes(ii, jj, nxc: int, nyc: int):
+    """Clamped copies of sparse lane indices for GATHERS.
+
+    ``jnp.nonzero`` fill lanes carry the out-of-range index ``nxc * nyc`` so
+    drop-mode scatters discard them; gathers through them are clamped by XLA
+    under jit but raise ``IndexError`` eagerly (public-API use outside jit).
+    Gather through these clamped indices (fill lanes read harmless garbage
+    that the unclamped scatter then drops)."""
+    return jnp.minimum(ii, nxc - 1), jnp.minimum(jj, nyc - 1)
+
+
 def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
     """Mixed-cells-only ELVIRA: gather the 3x3 neighborhoods of the mixed
     cells into ``m`` lanes, run the identical candidate search, scatter the
@@ -249,8 +260,9 @@ def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
     mixed_int = has_interface(vf[1:-1, 1:-1])
     n_mixed = jnp.sum(mixed_int)
     ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+    iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
 
-    vfn = {(di, dj): vf[1 + ii + di, 1 + jj + dj] for di, dj in _NEIGHBOR_OFFSETS}
+    vfn = {(di, dj): vf[1 + iig + di, 1 + jjg + dj] for di, dj in _NEIGHBOR_OFFSETS}
     best_nx, best_ny, best_d = _elvira_candidates(vfn, dx, dy)
 
     def scatter(vals, fill):
@@ -341,8 +353,11 @@ def interface_length(plic: Plic, w: float, h: float):
     the mixed set) and scattered back — bit-identical to the dense path."""
     if plic.lane_i is not None:
         ii, jj = plic.lane_i, plic.lane_j
+        nxc, nyc = plic.valid.shape[0] - 2, plic.valid.shape[1] - 2
+        iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
         p0, p1 = segment_endpoints_vals(
-            plic.nx[1 + ii, 1 + jj], plic.ny[1 + ii, 1 + jj], plic.d[1 + ii, 1 + jj], w, h
+            plic.nx[1 + iig, 1 + jjg], plic.ny[1 + iig, 1 + jjg],
+            plic.d[1 + iig, 1 + jjg], w, h
         )
         length = jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=-1))
         full = jnp.zeros(plic.valid.shape, length.dtype)

@@ -161,3 +161,28 @@ def test_sparse_overflow_is_loud():
     rec = plic.elvira(vf, g.dx, g.dy)
     _, err = adv.advect(vf, rec, U, V, Ui, Vi, g, 5e-3, max_active=8)
     assert not np.isfinite(float(err))
+
+
+def test_eager_numpy_public_api():
+    """The sparse chain must work OUTSIDE jit with numpy inputs (public-API
+    use; regression: nonzero fill indices raised IndexError eagerly)."""
+    from fluidsolver_tpu.vof.curvature import curvature_quad_volume_matching
+
+    g = make_grid(0.0, 1.0, 32, 0.0, 1.0, 32)
+    vf = liquid_fraction_from_indicator(
+        lambda x, y: (x - 0.4) ** 2 + (y - 0.5) ** 2 <= 0.15**2, g
+    )  # numpy array, NOT jnp
+    U = np.full(g.shape_u, 1.0)
+    V = np.full(g.shape_v, 0.5)
+    Ui = stencil.interp_u_center(jnp.asarray(U))
+    Vi = stencil.interp_v_center(jnp.asarray(V))
+
+    m0 = float(np.sum(vf[1:-1, 1:-1]))
+    rec = plic.elvira(vf, g.dx, g.dy)          # eager sparse ELVIRA
+    L = plic.interface_length(rec, g.dx, g.dy)  # eager sparse lanes
+    k = curvature_quad_volume_matching(jnp.asarray(vf), rec, g)
+    vf1, err = adv.advect(vf, rec, jnp.asarray(U), jnp.asarray(V), Ui, Vi, g, 0.25 * g.dx)
+    m1 = float(jnp.sum(vf1[1:-1, 1:-1]))
+    assert abs(m1 - m0) / m0 < 1e-11
+    assert float(err) < 1e-11
+    assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(k)))
