@@ -43,8 +43,9 @@ def _run(warmup: int, n: int):
             bc.Dirichlet(u=0.0, v=0.0), bc.Dirichlet(u=0.0, v=0.0),
         ),
         outflow_correction=True,
-        # A/B knob for the bf16 V-cycle preconditioner (ab_matrix.py)
+        # A/B knobs (bench_suite/ab_matrix.py)
         pressure_precond_dtype=os.environ.get("FS_PRECOND_DTYPE") or None,
+        pressure_precond_refresh=os.environ.get("FS_PRECOND_REFRESH", "solve"),
     )
     vf0 = liquid_fraction_from_indicator(
         lambda x, y: (x - 0.3) ** 2 + (y - 0.5) ** 2 <= 0.1**2, g
