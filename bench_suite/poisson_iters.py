@@ -51,6 +51,7 @@ def main():
         cfl_max=0.9, dt_max=1e-2, num_subiter=5,
         pressure_tol=1e-6, pressure_max_iter=500,
         bcs=bc.FlowBCs(wall, wall, wall, wall),
+        pressure_precond_refresh=os.environ.get("FS_PRECOND_REFRESH", "solve"),
     )
     vf0 = liquid_fraction_from_indicator(
         lambda x, y: (x - 0.5) ** 2 + (y - 0.7) ** 2 <= 0.15**2, g

@@ -48,6 +48,18 @@ COARSEST = 4
 # levels (e.g. 94x3 for a 750x15 channel); 16 symmetric sweep pairs keep
 # those solved well enough, and cost nothing on square (<=4^2) coarsest
 COARSE_SWEEPS = 32
+# Direct coarse solve: stop coarsening once a level is small enough for a
+# precomputed dense inverse (min-dim <= DIRECT_COARSEST and unknowns <=
+# DIRECT_CAP) and solve it EXACTLY with one tiny matvec per cycle. The
+# sweep path above runs ~64 color-update kernels per cycle on a 2D-trivial
+# problem — pure kernel-launch latency on TPU (measured: the coarsest
+# fori_loop dominated deep V-cycles in latency-degraded windows); it
+# remains only for elongated anisotropic coarsest levels that exceed the
+# cap. Square production grids now stop 2 levels earlier (16^2 instead of
+# 4^2) with an exact coarse solve, which also slightly strengthens the
+# cycle.
+DIRECT_COARSEST = 16
+DIRECT_CAP = 512
 
 
 @register_pytree_dataclass
@@ -97,6 +109,7 @@ class BoxLevel:
     op: object          # StencilOp (finest) or Stencil9 (coarse levels)
     red: jnp.ndarray    # checkerboard mask for the smoother
     tr: object          # BoxTransfer to the next coarser level, or None
+    coarse_inv: object = None  # dense inverse on a direct-solve coarsest level
 
 
 def _corners(op):
@@ -399,6 +412,45 @@ def galerkin_closed(op, tr: BoxTransfer, fine_shape) -> Stencil9:
     )
 
 
+def _dense_coarse_inverse(op) -> jnp.ndarray:
+    """Dense symmetric inverse of a (small) coarsest-level operator.
+
+    The stencil is materialized into an (n, n) matrix, all-zero (padded)
+    rows become identity, and the constant nullspace of the all-Neumann
+    case is deflated with a rank-one shift ``c/n_live * v v^T`` restricted
+    to live rows (v = live indicator, c = mean |diag|): symmetric positive
+    definite either way, and the shift direction's solution component is
+    discarded downstream (cg.solve_pcg projects the preconditioned residual
+    in the singular case). For nonsingular pinned operators the rank-one
+    perturbation merely makes the coarse solve ~99% exact — irrelevant for
+    a preconditioner."""
+    c = op.aC
+    N, M = c.shape
+    n = N * M
+    dtype = c.dtype
+    names = list(_A_OFFSETS) if isinstance(op, Stencil9) else list(_A_OFFSETS)[:5]
+    I = lax.broadcasted_iota(jnp.int32, (N, M), 0)
+    J = lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    rows = (I * M + J).ravel()
+    A = jnp.zeros((n, n), dtype)
+    for name in names:
+        di, dj = _A_OFFSETS[name]
+        coef = getattr(op, name)
+        valid = (I + di >= 0) & (I + di < N) & (J + dj >= 0) & (J + dj < M)
+        cols = jnp.clip(((I + di) * M + (J + dj)).ravel(), 0, n - 1)
+        vals = jnp.where(valid, coef, 0.0).ravel()
+        A = A.at[rows, cols].add(vals)
+    diag = jnp.diagonal(A)
+    live = diag != 0.0
+    A = A + jnp.diag(jnp.where(live, 0.0, jnp.ones((), dtype)))
+    v = live.astype(dtype)
+    n_live = jnp.maximum(jnp.sum(v), 1.0)
+    shift = jnp.sum(jnp.abs(diag)) / n_live
+    A = A + (shift / n_live) * jnp.outer(v, v)
+    inv = jnp.linalg.inv(A)
+    return 0.5 * (inv + inv.T)
+
+
 def _checkerboard(shape, dtype):
     ii = lax.broadcasted_iota(jnp.int32, shape, 0)
     jj = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -413,14 +465,20 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
     cur = op
     while True:
         shape = cur.aC.shape
+        # direct-solve termination: small enough for the dense inverse
+        direct = (min(shape) <= DIRECT_COARSEST
+                  and shape[0] * shape[1] <= DIRECT_CAP)
         # stop on the MIN dimension: collapsing below ~4 cells in either
         # direction produces empty odd-index slices (and at 1-wide levels,
         # degenerate gathers that crash XLA:CPU with heap corruption);
-        # anisotropic grids therefore get a larger coarsest level, which the
-        # RB coarse sweeps + PCG absorb
-        done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST
+        # anisotropic coarsest levels exceeding DIRECT_CAP keep the RB
+        # coarse sweeps + PCG
+        done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST or direct
         tr = None if done else collapse_weights(cur)
-        levels.append(BoxLevel(op=cur, red=_checkerboard(shape, dtype), tr=tr))
+        levels.append(BoxLevel(
+            op=cur, red=_checkerboard(shape, dtype), tr=tr,
+            coarse_inv=_dense_coarse_inverse(cur) if done and direct else None,
+        ))
         if done:
             return levels
         cur = galerkin_closed(cur, tr, shape)
@@ -478,6 +536,10 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
         level = levels[lvl]
         x = jnp.zeros_like(b_l)
         if lvl == len(levels) - 1:
+            if level.coarse_inv is not None:
+                # exact coarse solve: ONE tiny matvec instead of ~64
+                # latency-bound color-update kernels
+                return (level.coarse_inv @ b_l.ravel()).reshape(b_l.shape)
             # fori_loop, not unrolled: 32 sweep pairs of 9-point color
             # updates would otherwise dominate the whole solver's XLA graph
             def pair(_, x):

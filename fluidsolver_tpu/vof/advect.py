@@ -77,13 +77,23 @@ def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt):
 
 
 # ---- fixed-size polygon helpers ------------------------------------------
+def _next_vertex(a, n):
+    """a[..., (idx+1) mod n] for the ``n`` valid leading slots as a lane
+    ROTATE + select — never a gather. ``take_along_axis`` along the minor
+    dimension lowers to scalar gathers on TPU (~1000x speed-of-light:
+    measured 12.3 ms to permute 9 MB); ``roll`` by one is a vectorized lane
+    rotate. Invalid slots (idx >= n) read rotated garbage, exactly as
+    harmless as the old gather's slot-0 read — every consumer masks them."""
+    idx = jnp.arange(K)
+    return jnp.where(idx == n[..., None] - 1, a[..., :1], jnp.roll(a, -1, axis=-1))
+
+
 def _poly_area(vx, vy, n):
     """Signed shoelace area of polygons with ``n`` valid leading vertices."""
     idx = jnp.arange(K)
     valid = idx < n[..., None]
-    nxt = jnp.where(idx + 1 >= n[..., None], 0, idx + 1)
-    x2 = jnp.take_along_axis(vx, nxt, axis=-1)
-    y2 = jnp.take_along_axis(vy, nxt, axis=-1)
+    x2 = _next_vertex(vx, n)
+    y2 = _next_vertex(vy, n)
     contrib = jnp.where(valid, vx * y2 - x2 * vy, 0.0)
     return 0.5 * jnp.sum(contrib, axis=-1)
 
@@ -99,11 +109,10 @@ def _clip_halfplane(vx, vy, n, a, b, c):
     d = a[..., None] * vx + b[..., None] * vy - c[..., None]
     inside = (d <= 0.0) & valid
 
-    nxt = jnp.where(idx + 1 >= n[..., None], 0, idx + 1)
-    d_n = jnp.take_along_axis(d, nxt, axis=-1)
-    vx_n = jnp.take_along_axis(vx, nxt, axis=-1)
-    vy_n = jnp.take_along_axis(vy, nxt, axis=-1)
-    inside_n = jnp.take_along_axis(inside, nxt, axis=-1)
+    d_n = _next_vertex(d, n)
+    vx_n = _next_vertex(vx, n)
+    vy_n = _next_vertex(vy, n)
+    inside_n = _next_vertex(inside, n)
 
     denom = d - d_n
     t = jnp.where(jnp.abs(denom) > 0.0, d / jnp.where(denom == 0.0, 1.0, denom), 0.0)
