@@ -118,25 +118,23 @@ def main():
     budget = float(os.environ.get("FS_BENCH_BUDGET_S", "1800"))
     start = time.time()
 
-    # Health gate: the timing below differences two batch sizes, so high
-    # dispatch latency alone is tolerated — the gate only needs the TPU to
-    # be ALIVE (the tunnel sporadically drops workers entirely, surfacing
-    # as UNAVAILABLE crashes / probe timeouts / unregistered backend).
+    # Health gate: the timing below differences two batch sizes and dispatch
+    # enqueue is async on this tunnel, so a slow synchronous RTT alone is
+    # tolerated ("timeable") — but windows where the DEVICE itself is
+    # degraded (~50-60 GB/s effective HBM) would inflate every number ~10x,
+    # so those are waited out. tools/tpu_health.py measures rtt / enqueue /
+    # effective bandwidth separately and classifies the window.
     def healthy() -> bool:
-        probe = (
-            "import time,jax,jax.numpy as jnp;"
-            "assert jax.devices()[0].platform != 'cpu';"
-            "x=jnp.ones((256,256));float(x.sum());"
-            "t0=time.time();"
-            "ys=[float((x*2).sum()) for _ in range(5)];"
-            "print((time.time()-t0)/5)"
-        )
         try:
-            out = subprocess.run([sys.executable, "-c", probe],
-                                 capture_output=True, text=True, timeout=240)
-            lat = float(out.stdout.strip().splitlines()[-1])
-            sys.stderr.write(f"health probe: {lat * 1e3:.1f} ms/dispatch\n")
-            return lat < 1.0
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "tpu_health.py")],
+                capture_output=True, text=True, timeout=600,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            sys.stderr.write(f"health probe: {line}\n")
+            return line.startswith(("healthy", "timeable"))
         except Exception:
             return False
 
@@ -160,25 +158,43 @@ def main():
             return out.stdout.strip().splitlines()[-1], None
         return None, f"(warmup={warmup}, n={n}) failed:\n{out.stderr[-500:]}"
 
-    # Kernel auto-selection: the fused Pallas paths (V-cycle smoothing,
-    # momentum stage) are bit-exact but their win depends on the hardware
-    # window; a small canary A/B picks them only when actually faster.
+    # Config auto-selection: the opt-in variants trade HBM traffic against
+    # kernel-launch count, and the tunnel's per-launch overhead swings from
+    # ~100 ns (healthy) to 10-50 us (degraded windows, hours at a time) —
+    # no single default wins both regimes. A 256^2 canary race picks the
+    # fastest config IN THIS WINDOW (launch-bound behavior is kernel-count
+    # driven and therefore size-independent, so the small canary transfers):
+    #   pallas     fused V-cycle smoothing + momentum (fewer launches+bytes)
+    #   refresh    hierarchy built once per step, not per solve (~10k fewer
+    #              launches/step at +67% PCG iterations - wins only when
+    #              launch-bound)
     # Explicitly-set env vars are respected and skip the canary.
     flags = {}
-    if (os.environ.get("FS_PALLAS_VCYCLE") is None
-            and os.environ.get("FS_PALLAS_MOMENTUM") is None
-            and budget - (time.time() - start) > 900):
-        pallas_env = {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1"}
-        base_js, _ = run_single(5, 256, 300)
-        pallas_js, _ = run_single(5, 256, 300, pallas_env)
-        try:
-            base_ms = json.loads(base_js)["value"] if base_js else None
-            pallas_ms = json.loads(pallas_js)["value"] if pallas_js else None
-            sys.stderr.write(f"canary 256^2: base={base_ms} pallas={pallas_ms} ms\n")
-            if pallas_ms is not None and (base_ms is None or pallas_ms < 0.95 * base_ms):
-                flags = pallas_env
-        except Exception:
-            pass
+    _pallas = {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1"}
+    _refresh = {"FS_PRECOND_REFRESH": "step"}
+    if (all(os.environ.get(k) is None for k in
+            ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_REFRESH"))
+            and budget - (time.time() - start) > 1200):
+        candidates = [
+            ("base", {}),
+            ("pallas", _pallas),
+            ("refresh-step", _refresh),
+            ("pallas+refresh", {**_pallas, **_refresh}),
+        ]
+        results = {}
+        for name, env in candidates:
+            js, _ = run_single(5, 256, 300, env)
+            try:
+                results[name] = json.loads(js)["value"] if js else None
+            except Exception:
+                results[name] = None
+        sys.stderr.write(f"canary 256^2: {results}\n")
+        valid = {k: v for k, v in results.items() if v is not None}
+        if valid:
+            best = min(valid, key=valid.get)
+            # 5% hysteresis toward the plain default
+            if best != "base" and valid[best] < 0.95 * valid.get("base", float("inf")):
+                flags = dict(candidates[[c[0] for c in candidates].index(best)][1])
 
     attempts = [(WARMUP, N), (2, N), (2, N // 2), (2, N // 4), (2, N // 8)]
     for k, (warmup, n) in enumerate(attempts):
@@ -188,7 +204,8 @@ def main():
         out, err = run_single(warmup, n, per_attempt, flags)
         if out is not None:
             if flags:
-                out = out[:-1] + ', "pallas_fused": true}'
+                tag = json.dumps(flags)
+                out = out[:-1] + f', "autoselected": {tag}}}'
             print(out)
             return
         sys.stderr.write(f"bench attempt {err}\n")

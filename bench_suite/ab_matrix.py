@@ -67,6 +67,9 @@ def run_variant(name, env_extra, n) -> dict | None:
               "FS_PRECOND_REFRESH"):
         env.pop(k, None)
     env.update(env_extra)
+    # smaller grids have smaller marginal step times; lengthen the batches
+    # so the differenced signal stays above the tunnel's drain jitter
+    env["FS_BENCH_STEPS"] = "20" if n <= 512 else "10"
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py"), "--single",

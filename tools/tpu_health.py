@@ -63,27 +63,33 @@ def probe():
         # would be polluted; no point paying for the bandwidth probe
         return rtt_ms, enqueue_ms, 0.0
 
+    # Effective-bandwidth probe: ONE batch large enough that device work
+    # (SoL ~250 ms at K=1024) dwarfs the RTT jitter of the single drain —
+    # differencing small batches is hopeless when the drain jitters by tens
+    # of ms. Healthy ≈ 245 µs/axpy (819 GB/s), degraded windows ≈ 10-50x
+    # that, so the contrast survives any plausible jitter.
     a = jnp.ones((4096, 4096), jnp.float32)
     b = jnp.ones((4096, 4096), jnp.float32)
     f = jax.jit(lambda z, b: z + 1.5 * b)
     z = f(a, b)
     float(z[0, 0])
 
-    def batch(k):
-        t0 = time.perf_counter()
-        z = a
-        for _ in range(k):
-            z = f(z, b)
-        float(z[0, 0])
-        return time.perf_counter() - t0
-
-    samples = []
-    for _ in range(2):
-        t1 = batch(20)
-        t2 = batch(40)
-        samples.append((t2 - t1) / 20)
-    per = min(samples)
-    gbs = 3 * 4096 * 4096 * 4 / per / 1e9 if per > 0 else 0.0
+    K = 1024
+    t0 = time.perf_counter()
+    z = a
+    for _ in range(K):
+        z = f(z, b)
+    float(z[0, 0])
+    t_batch = time.perf_counter() - t0
+    # Validity guard: device work must dominate the drain RTT, or the
+    # subtraction below is noise (one observed artifact: t_batch ≈ rtt
+    # yielded axpy=5e10 GB/s, which the >500 gate read as healthy).
+    if t_batch < 2.0 * rtt_ms * 1e-3:
+        return rtt_ms, enqueue_ms, 0.0
+    per = max(t_batch - rtt_ms * 1e-3, 1e-9) / K
+    gbs = 3 * 4096 * 4096 * 4 / per / 1e9
+    if gbs > 1200.0:  # above v5e speed-of-light ⇒ measurement artifact
+        return rtt_ms, enqueue_ms, 0.0
     return rtt_ms, enqueue_ms, gbs
 
 
