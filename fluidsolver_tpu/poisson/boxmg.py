@@ -457,6 +457,21 @@ def _checkerboard(shape, dtype):
     return (((ii + jj) % 2) == 0).astype(dtype)
 
 
+def _rap_fused_ok(shape) -> bool:
+    """Gate for the fused Pallas setup kernel (pallas_rap.fused_rap):
+    opt-in, TPU backend, single device (pallas_call does not partition
+    under GSPMD), and a shape the banded kernel accepts."""
+    if os.environ.get("FS_PALLAS_RAP", "0") != "1":
+        return False
+    import jax
+
+    if jax.default_backend() != "tpu" or jax.device_count() > 1:
+        return False
+    from fluidsolver_tpu.poisson import pallas_rap
+
+    return pallas_rap.available(shape, None)
+
+
 def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
     """Finest level keeps the 5-point operator (no wasted zero-corner
     bandwidth on the dominant-cost sweeps); coarse levels are 9-point."""
@@ -474,14 +489,22 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
         # anisotropic coarsest levels exceeding DIRECT_CAP keep the RB
         # coarse sweeps + PCG
         done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST or direct
-        tr = None if done else collapse_weights(cur)
+        nxt = None
+        if done:
+            tr = None
+        elif _rap_fused_ok(shape):
+            from fluidsolver_tpu.poisson import pallas_rap
+
+            tr, nxt = pallas_rap.fused_rap(cur)
+        else:
+            tr = collapse_weights(cur)
         levels.append(BoxLevel(
             op=cur, red=_checkerboard(shape, dtype), tr=tr,
             coarse_inv=_dense_coarse_inverse(cur) if done and direct else None,
         ))
         if done:
             return levels
-        cur = galerkin_closed(cur, tr, shape)
+        cur = nxt if nxt is not None else galerkin_closed(cur, tr, shape)
 
 
 def _rb_sweep(level: BoxLevel, x, b, reverse=False):

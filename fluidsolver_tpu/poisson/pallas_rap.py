@@ -1,0 +1,296 @@
+"""Pallas TPU kernel: fused BoxMG setup (weights + Galerkin RAP) per level.
+
+One hierarchy build compiles to ~700 XLA fusions (measured on the 512^2
+5-point operator: ~100-136 per level), i.e. ~3500 kernel launches per step
+at refresh="solve". In healthy tunnel windows launches are ~100 ns and this
+is invisible; in the degraded/timeable windows the axon tunnel sits in for
+hours (CLAUDE.md), each launch costs 10-50 us and setup alone is tens of ms
+per step. This kernel fuses one level's ENTIRE setup — the operator-
+collapsed interpolation weights (boxmg.collapse_weights) plus the closed-
+form Galerkin product (boxmg.galerkin_closed) — into ONE banded pallas_call
+(~20 launches/level including the XLA unpack slices).
+
+Method: everything is computed in FINE-grid space. The weight fields
+(pW_full, vSW/cden, ...) are already fine-space formulas in
+collapse_weights; each RAP term  w1[K+g1,L+d1] * a[2K+α,2L+β] *
+w2[K+g2,L+d2]  becomes, at fine base (i,j) = (2K,2L), a product of three
+STATICALLY SHIFTED fine-space planes (weight entries at coarse (K+g,L+d)
+live at fine (2K+2g+p, 2L+2d+q) where (p,q) is the weight's natural
+parity). Values at odd-parity base points are meaningless and discarded by
+the parity unpack. Shifts are pure ``pltpu.roll`` with NO masks: the
+wrapper zero-pads 8 rows/lanes on every side, so wrapped-around values land
+in (and only ever come from) halo/pad rings that no consumed value reads
+(max read depth from a consumed row: placement 1 + weight-shift 3 + coef
+1 = 5 < 8).
+
+Outputs are parity-PACKED: the 8 weight planes sit at their natural fine
+parities and the 9 coarse-stencil planes fill the remaining slots (shifted
+by their slot parity), so the kernel writes 5 fine-shaped planes instead of
+17. The wrapper unpacks with strided slices and applies the same _pad_to /
+valid-coupling masks as the XLA path. Result is arithmetically identical
+term-for-term to (collapse_weights, galerkin_closed) — tests assert
+equality in interpret mode on CPU.
+
+Replaces (when FS_PALLAS_RAP=1, TPU, single device): the XLA lowering of
+boxmg.collapse_weights + boxmg.galerkin_closed. Same role as HYPRE's PFMG
+setup phase (reference: src/LinearSolver_StructHypre.hpp:217-237).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+VMEM_BUDGET_BYTES = 9 * 1024 * 1024
+PAD = 8  # zero halo on every side; max consumed read depth is 5
+
+# natural fine parity of each interpolation-weight family:
+#   pW/pE live at fine (2k+1, 2l), pS/pN at (2k, 2l+1), corners at odd-odd
+_W_PARITY = {
+    "pW": (1, 0), "pE": (1, 0),
+    "pS": (0, 1), "pN": (0, 1),
+    "pSW": (1, 1), "pSE": (1, 1), "pNW": (1, 1), "pNE": (1, 1),
+}
+
+# packed-plane slot assignment: (plane, p, q) per output. Weights keep
+# their natural parity (stored unshifted); coarse coefficients take the
+# remaining slots (stored shifted by (p, q) so coarse (k,l) lives at fine
+# (2k+p, 2l+q)).
+_SLOTS = {
+    "aC": (0, 0, 0), "pW": (0, 1, 0), "pS": (0, 0, 1), "pSW": (0, 1, 1),
+    "aL": (1, 0, 0), "pE": (1, 1, 0), "pN": (1, 0, 1), "pSE": (1, 1, 1),
+    "aR": (2, 0, 0), "aB": (2, 1, 0), "aT": (2, 0, 1), "pNW": (2, 1, 1),
+    "aSW": (3, 0, 0), "aSE": (3, 1, 0), "aNW": (3, 0, 1), "pNE": (3, 1, 1),
+    "aNE": (4, 0, 0),
+}
+N_PLANES = 5
+_W_NAMES = ("pW", "pE", "pS", "pN", "pSW", "pSE", "pNW", "pNE")
+# canonical coarse-offset order (matches boxmg.Stencil9 field order)
+_C_ORDER = ("aC", "aL", "aR", "aB", "aT", "aSW", "aSE", "aNW", "aNE")
+
+
+def _sh(x, di, dj):
+    """x[i+di, j+dj] via pure rolls (valid under the PAD-ring invariant)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = x.shape
+    if di:
+        x = pltpu.roll(x, (-di) % n, 0)
+    if dj:
+        x = pltpu.roll(x, (-dj) % m, 1)
+    return x
+
+
+def _safe(d):
+    return jnp.where(d == 0.0, 1.0, d)
+
+
+def _make_kernel(ncoef, B, W, M_total, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fluidsolver_tpu.poisson.boxmg import _OFF_NAME, _enumerate_rap_terms
+
+    terms = _enumerate_rap_terms(ncoef)
+
+    def kernel(*refs):
+        ins = refs[:ncoef]
+        outs = refs[ncoef:ncoef + N_PLANES]
+        scratch = refs[ncoef + N_PLANES:ncoef + N_PLANES + ncoef]
+        out_buf = refs[ncoef + N_PLANES + ncoef:
+                       ncoef + N_PLANES + ncoef + N_PLANES]
+        sem_in, sem_out = refs[-2], refs[-1]
+
+        band = pl.program_id(0)
+        start = pl.multiple_of(band * B, 8)
+
+        dmas = [
+            pltpu.make_async_copy(
+                ins[i].at[pl.ds(start, W), :], scratch[i], sem_in.at[i]
+            )
+            for i in range(ncoef)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+        planes = {"aC": scratch[0][:], "aL": scratch[1][:],
+                  "aR": scratch[2][:], "aB": scratch[3][:],
+                  "aT": scratch[4][:]}
+        if ncoef == 9:
+            planes.update({"aSW": scratch[5][:], "aSE": scratch[6][:],
+                           "aNW": scratch[7][:], "aNE": scratch[8][:]})
+        c, w, e = planes["aC"], planes["aL"], planes["aR"]
+        s, n = planes["aB"], planes["aT"]
+        if ncoef == 9:
+            asw, ase = planes["aSW"], planes["aSE"]
+            anw, ane = planes["aNW"], planes["aNE"]
+        else:
+            asw = ase = anw = ane = jnp.zeros((), dtype)
+
+        # fine-space weight fields — same formulas as collapse_weights
+        # (boxmg.py), evaluated at every fine point
+        pW_f = -(w + anw + asw) / _safe(c + n + s)
+        pE_f = -(e + ane + ase) / _safe(c + n + s)
+        pS_f = -(s + asw + ase) / _safe(c + w + e)
+        pN_f = -(n + anw + ane) / _safe(c + w + e)
+        cden = _safe(c)
+        vSW = asw + w * _sh(pS_f, -1, 0) + s * _sh(pW_f, 0, -1)
+        vSE = ase + e * _sh(pS_f, +1, 0) + s * _sh(pE_f, 0, -1)
+        vNW = anw + w * _sh(pN_f, -1, 0) + n * _sh(pW_f, 0, +1)
+        vNE = ane + e * _sh(pN_f, +1, 0) + n * _sh(pE_f, 0, +1)
+        wfields = {
+            "pW": pW_f, "pE": pE_f, "pS": pS_f, "pN": pN_f,
+            "pSW": -vSW / cden, "pSE": -vSE / cden,
+            "pNW": -vNW / cden, "pNE": -vNE / cden,
+        }
+
+        # absolute parity masks (start is a multiple of 8 -> even, so
+        # window-local row parity equals absolute parity; lanes untiled)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (W, M_total), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (W, M_total), 1)
+        par = {(p, q): ((ii % 2) == p) & ((jj % 2) == q)
+               for p in (0, 1) for q in (0, 1)}
+
+        def w_at(name, g, d):
+            p, q = _W_PARITY[name]
+            return _sh(wfields[name], 2 * g + p, 2 * d + q)
+
+        packed = [jnp.zeros((W, M_total), dtype) for _ in range(N_PLANES)]
+
+        # Galerkin product, term order identical to galerkin_closed
+        for DK, DL in [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                       (-1, -1), (1, -1), (-1, 1), (1, 1)]:
+            acc = jnp.zeros((W, M_total), dtype)
+            for (w1, g1, d1, a_name, alpha, beta, w2, g2, d2) in terms[(DK, DL)]:
+                v = _sh(planes[a_name], alpha, beta)
+                if w1 != "one":
+                    v = v * w_at(w1, g1, d1)
+                if w2 != "one":
+                    v = v * w_at(w2, g2, d2)
+                acc = acc + v
+            plane, p, q = _SLOTS[_OFF_NAME[(DK, DL)]]
+            placed = _sh(acc, -p, -q) if (p or q) else acc
+            packed[plane] = jnp.where(par[(p, q)], placed, packed[plane])
+
+        for name in _W_NAMES:
+            plane, p, q = _SLOTS[name]
+            packed[plane] = jnp.where(par[(p, q)], wfields[name],
+                                      packed[plane])
+
+        for k in range(N_PLANES):
+            out_buf[k][:] = packed[k]
+        outs_dma = [
+            pltpu.make_async_copy(out_buf[k], outs[k].at[band], sem_out.at[k])
+            for k in range(N_PLANES)
+        ]
+        for d in outs_dma:
+            d.start()
+        for d in outs_dma:
+            d.wait()
+
+    return kernel
+
+
+def _pick_band(M_total, ncoef, itemsize):
+    # live VMEM planes: ncoef inputs + 8 weight fields + 5 out buffers +
+    # ~6 temporaries in flight
+    n_planes = ncoef + 8 + N_PLANES + 6
+    B = 256
+    while B > 8:
+        if (B + 2 * PAD) * M_total * n_planes * itemsize < VMEM_BUDGET_BYTES:
+            return B
+        B //= 2
+    return 8
+
+
+def available(shape, dtype) -> bool:
+    del dtype
+    return shape[0] >= 8 and shape[1] >= 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_rap(op, interpret=False):
+    """(BoxTransfer, Stencil9) for one level, arithmetically identical to
+    (collapse_weights(op), galerkin_closed(op, tr, shape))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fluidsolver_tpu.poisson.boxmg import (BoxTransfer, Stencil9,
+                                               _pad_to)
+
+    is9 = isinstance(op, Stencil9)
+    ncoef = 9 if is9 else 5
+    N, M = op.aC.shape
+    Nc, Mc = (N + 1) // 2, (M + 1) // 2
+    dtype = op.aC.dtype
+
+    # lanes: data at [PAD, PAD+M), zero elsewhere; >= PAD zeros on the right
+    M_total = -(-(M + 2 * PAD) // 128) * 128
+    B = _pick_band(M_total, ncoef, jnp.dtype(dtype).itemsize)
+    n_bands = -(-N // B)
+    # rows: data at [PAD, PAD+N); window k = rows [kB, kB + B + 2*PAD)
+    W = B + 2 * PAD
+    N_total = n_bands * B + 2 * PAD
+
+    def pad(a):
+        return jnp.pad(a, ((PAD, N_total - N - PAD), (PAD, M_total - M - PAD)))
+
+    coef_arrays = [op.aC, op.aL, op.aR, op.aB, op.aT]
+    if is9:
+        coef_arrays += [op.aSW, op.aSE, op.aNW, op.aNE]
+    args = [pad(a) for a in coef_arrays]
+
+    kernel = _make_kernel(ncoef, B, W, M_total, dtype)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    res = pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_bands, W, M_total), dtype)
+            for _ in range(N_PLANES)
+        ),
+        in_specs=[hbm] * ncoef,
+        out_specs=tuple([hbm] * N_PLANES),
+        scratch_shapes=(
+            [pltpu.VMEM((W, M_total), dtype) for _ in range(ncoef + N_PLANES)]
+            + [pltpu.SemaphoreType.DMA((ncoef,)),
+               pltpu.SemaphoreType.DMA((N_PLANES,))]
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    # reassemble fine-space packed planes: band interiors + 2 extra rows
+    # from the last band (odd-parity slots of coarse row Nc-1 can land on
+    # data rows N / N+1)
+    def extract(canvas):
+        parts = [canvas[k, PAD:PAD + B] for k in range(n_bands)]
+        parts.append(canvas[n_bands - 1, PAD + B:PAD + B + 2])
+        return jnp.concatenate(parts, axis=0)[:N + 2]
+
+    planes = [extract(res[k]) for k in range(N_PLANES)]
+
+    def unpack(name):
+        plane, p, q = _SLOTS[name]
+        v = planes[plane][p::2, PAD + q::2][:Nc, :Mc]
+        return _pad_to(v, (Nc, Mc))
+
+    tr = BoxTransfer(**{name: unpack(name) for name in _W_NAMES})
+
+    from jax import lax
+    I = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
+    J = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
+    from fluidsolver_tpu.poisson.boxmg import _A_OFFSETS
+
+    def coef(name):
+        DK, DL = _A_OFFSETS[name]
+        valid = (I + DK >= 0) & (I + DK < Nc) & (J + DL >= 0) & (J + DL < Mc)
+        return jnp.where(valid, unpack(name), 0.0)
+
+    coarse = Stencil9(**{name: coef(name) for name in _C_ORDER})
+    return tr, coarse
