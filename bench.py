@@ -164,16 +164,19 @@ def main():
     # no single default wins both regimes. A 256^2 canary race picks the
     # fastest config IN THIS WINDOW (launch-bound behavior is kernel-count
     # driven and therefore size-independent, so the small canary transfers):
-    #   pallas     fused V-cycle smoothing + momentum (fewer launches+bytes)
+    #   pallas     fused V-cycle smoothing (+transfers) + momentum + MG
+    #              setup RAP (fewer launches+bytes)
     #   refresh    hierarchy built once per step, not per solve (~10k fewer
     #              launches/step at +67% PCG iterations - wins only when
     #              launch-bound)
     # Explicitly-set env vars are respected and skip the canary.
     flags = {}
-    _pallas = {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1"}
+    _pallas = {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
+               "FS_PALLAS_RAP": "1"}
     _refresh = {"FS_PRECOND_REFRESH": "step"}
     if (all(os.environ.get(k) is None for k in
-            ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_REFRESH"))
+            ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_REFRESH",
+             "FS_PALLAS_RAP"))
             and budget - (time.time() - start) > 1200):
         candidates = [
             ("base", {}),

@@ -110,6 +110,9 @@ class BoxLevel:
     red: jnp.ndarray    # checkerboard mask for the smoother
     tr: object          # BoxTransfer to the next coarser level, or None
     coarse_inv: object = None  # dense inverse on a direct-solve coarsest level
+    # (planeU, planeV) fine-shaped parity-packed weights for the fused
+    # Pallas transfer paths (pallas_vcycle.pack_transfer), or None
+    tr_fine: object = None
 
 
 def _corners(op):
@@ -457,6 +460,16 @@ def _checkerboard(shape, dtype):
     return (((ii + jj) % 2) == 0).astype(dtype)
 
 
+def _tr_fine_wanted() -> bool:
+    """Pack fine-space transfer planes at build time (a handful of XLA
+    kernels per level) iff the fused smoother will consume them."""
+    if not _USE_PALLAS_VC:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def _rap_fused_ok(shape) -> bool:
     """Gate for the fused Pallas setup kernel (pallas_rap.fused_rap):
     opt-in, TPU backend, single device (pallas_call does not partition
@@ -498,9 +511,15 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
             tr, nxt = pallas_rap.fused_rap(cur)
         else:
             tr = collapse_weights(cur)
+        tr_fine = None
+        if tr is not None and _tr_fine_wanted():
+            from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+            tr_fine = pv.pack_transfer(tr, shape)
         levels.append(BoxLevel(
             op=cur, red=_checkerboard(shape, dtype), tr=tr,
             coarse_inv=_dense_coarse_inverse(cur) if done and direct else None,
+            tr_fine=tr_fine,
         ))
         if done:
             return levels
@@ -573,6 +592,19 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
         if _fused_ok(level, b_l):
             from fluidsolver_tpu.poisson import pallas_vcycle as pv
 
+            if level.tr_fine is not None:
+                # transfers fused into the smoothing kernels: restriction
+                # rides the pre-smoother's residual epilogue, prolongation+
+                # correction the post-smoother's prologue
+                x, bc = pv.fused_smooth(
+                    level.op, b_l, colors=(True, False) * n_pre,
+                    tr_planes=level.tr_fine, restrict=True,
+                )
+                ec = cycle(lvl + 1, bc)
+                return pv.fused_smooth(
+                    level.op, b_l, x0=x, colors=(False, True) * n_post,
+                    tr_planes=level.tr_fine, ec=ec,
+                )
             x, r = pv.fused_smooth(
                 level.op, b_l, colors=(True, False) * n_pre,
                 residual=True,

@@ -15,6 +15,23 @@ color updates in boxmg._rb_sweep (validated in tests via interpret mode).
 
 Scope: 5-point (finest) and 9-point (Galerkin-coarsened) levels of
 poisson/boxmg.py hierarchies. Callers gate on ``available()``.
+
+The grid-transfer operators fuse in as well: with the BoxMG weights packed
+into two FINE-shaped parity planes (``pack_transfer``), restriction is nine
+static ±1 shifts of weight*residual products (computed while r is still in
+VMEM — the fine residual never round-trips to HBM) and prolongation+
+correction is a prologue of the post-smoothing kernel (the coarse error is
+pre-upsampled by nearest-neighbor in XLA so every P entry is a ±1 shift).
+This replaces boxmg.restrict_box / prolong_box (~22 XLA kernel launches
+per level visit) with in-kernel epilogue/prologue math.
+
+Packed-plane layout (values stored AT fine parity slots; (p,q) = (i%2,j%2)):
+  planeU: (1,0)=pW  (0,0)=pE[k,l]@(2k,2l)    (0,1)=pS  (1,1)=pN[k,l]@(2k+1,2l+1)
+  planeV: (1,1)=pSW (0,1)=pSE[k,l]@(2k,2l+1) (1,0)=pNW[k,l]@(2k+1,2l)
+          (0,0)=pNE[k,l]@(2k,2l)
+i.e. every family sits at its natural parity except where two families
+share one (pW/pE, pS/pN, the corners) — the second family is stored one
+step backward and un-shifted at use.
 """
 
 from __future__ import annotations
@@ -25,6 +42,32 @@ import jax
 import jax.numpy as jnp
 
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def pack_transfer(tr, fine_shape):
+    """BoxTransfer -> (planeU, planeV) parity-packed planes, shape
+    (2Nc, 2Mc) — NOT trimmed to the fine shape: for odd N the pN family
+    (natural parity (0,1), stored one row down at (1,1)) carries real
+    entries at row 2(Nc-1)+1 = N, one past the fine grid. fused_smooth
+    zero-pads every operand to the band layout per-array, and N_pad >= 2Nc
+    always holds (bands are even-sized, so odd N rounds up).
+
+    Built once per level at hierarchy-build time (XLA interleave, same
+    trick as boxmg.prolong_box); consumed by fused_smooth's in-kernel
+    restriction/prolongation.
+    """
+    del fine_shape
+    Nc, Mc = tr.pW.shape
+
+    def interleave(a00, a01, a10, a11):
+        # value at fine (2k+p, 2l+q) = a{pq}[k, l]
+        row_even = jnp.stack([a00, a01], axis=-1).reshape(Nc, 2 * Mc)
+        row_odd = jnp.stack([a10, a11], axis=-1).reshape(Nc, 2 * Mc)
+        return jnp.stack([row_even, row_odd], axis=1).reshape(2 * Nc, 2 * Mc)
+
+    planeU = interleave(tr.pE, tr.pS, tr.pW, tr.pN)
+    planeV = interleave(tr.pNE, tr.pSE, tr.pNW, tr.pSW)
+    return planeU, planeV
 
 
 def _shift_in(x, di, dj):
@@ -65,12 +108,14 @@ def _apply_coefs(coefs, x):
     return out
 
 
-def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
+def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
+                 ncoef, N_pad, M, B, H, W, dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_in = ncoef + 1 + (1 if has_x0 else 0)
-    n_out = 2 if residual else 1
+    n_in = ncoef + 1 + (1 if has_x0 else 0) + (2 if has_tr else 0) \
+        + (1 if has_corr else 0)
+    n_out = 2 if (residual or restrict) else 1
 
     def kernel(*refs):
         # separate 2D scratch buffers per array: indexing one 3D VMEM slab
@@ -101,12 +146,40 @@ def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
         coefs = tuple(scratch[i][:] for i in range(ncoef))
         aC = coefs[0]
         b = scratch[ncoef][:]
-        x = scratch[ncoef + 1][:] if has_x0 else jnp.zeros((W, M), dtype)
+        k = ncoef + 1
+        x = scratch[k][:] if has_x0 else jnp.zeros((W, M), dtype)
+        k += 1 if has_x0 else 0
+        if has_tr:
+            pU, pV = scratch[k][:], scratch[k + 1][:]
+            k += 2
+        if has_corr:
+            e = scratch[k][:]
 
+        sh = _shift_in
         ii = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + start
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
         red = (((ii + jj) % 2) == 0).astype(dtype)
         aC_safe = jnp.where(aC == 0.0, 1.0, aC)
+
+        if has_corr:
+            # prolongation + correction prologue: x += P e, with e the
+            # nearest-neighbor-upsampled coarse error (so ec(k+di, l+dj)
+            # is a ±1 shift) and the weights read from the packed parity
+            # planes (see module docstring). Term order = boxmg.prolong_box.
+            corr_oe = pU * sh(e, -1, 0) + sh(pU, -1, 0) * sh(e, 1, 0)
+            corr_eo = pU * sh(e, 0, -1) + sh(pU, 1, 0) * sh(e, 0, 1)
+            corr_oo = (
+                pV * sh(e, -1, -1) + sh(pV, -1, 0) * sh(e, 1, -1)
+                + sh(pV, 0, -1) * sh(e, -1, 1)
+                + sh(pV, -1, -1) * sh(e, 1, 1)
+            )
+            even_i = (ii % 2) == 0
+            even_j = (jj % 2) == 0
+            corr = jnp.where(
+                even_i, jnp.where(even_j, e, corr_eo),
+                jnp.where(even_j, corr_oe, corr_oo),
+            )
+            x = x + corr
 
         for want_red in colors:
             ax_off = _apply_coefs(coefs, x) - aC * x
@@ -118,8 +191,26 @@ def _make_kernel(colors, residual, has_x0, ncoef, N_pad, M, B, H, W, dtype):
         # be tile-aligned in both dims, which M generally is not); the
         # wrapper extracts the band interiors afterwards in XLA
         out_buf[0][:] = x
-        if residual:
-            out_buf[1][:] = b - _apply_coefs(coefs, x)
+        if residual or restrict:
+            r = b - _apply_coefs(coefs, x)
+            if restrict:
+                # restriction epilogue: R = P^T r while r is still in VMEM;
+                # valid at even-even positions (the wrapper's [0::2, 0::2]
+                # is the coarse grid). Term order = boxmg.restrict_box.
+                P1 = pU * r          # pW at odd-even / pS at even-odd
+                P2 = pV * r          # pSW at odd-odd
+                r = (
+                    r
+                    + sh(P1, 1, 0)
+                    + sh(sh(pU, -1, 0) * r, -1, 0)
+                    + sh(P1, 0, 1)
+                    + sh(sh(pU, 1, 0) * r, 0, -1)
+                    + sh(P2, 1, 1)
+                    + sh(sh(pV, -1, 0) * r, -1, 1)
+                    + sh(sh(pV, 0, -1) * r, 1, -1)
+                    + sh(sh(pV, -1, -1) * r, -1, -1)
+                )
+            out_buf[1][:] = r
 
         outs_dma = [
             pltpu.make_async_copy(
@@ -149,21 +240,35 @@ def available(shape, dtype) -> bool:
     return shape[0] >= 32 and shape[1] >= 2
 
 
-@functools.partial(jax.jit, static_argnames=("colors", "residual", "interpret"))
-def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
+@functools.partial(jax.jit, static_argnames=("colors", "residual",
+                                              "restrict", "interpret"))
+def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
+                 tr_planes=None, restrict=False, ec=None):
     """Run ``colors`` (tuple of bools: True = red half-step) starting from
     ``x0`` (or zero); optionally also return r = b - A x. One HBM pass,
-    exactly equivalent to chaining boxmg._rb_sweep color updates."""
+    exactly equivalent to chaining boxmg._rb_sweep color updates.
+
+    With ``tr_planes`` (from pack_transfer): ``restrict=True`` returns
+    (x, P^T r) with the restriction fused into the residual epilogue
+    (== restrict_box(tr, b - A x)); ``ec`` (coarse error) fuses
+    prolongation + correction into the prologue, i.e. the smoothing starts
+    from x0 + prolong_box(tr, ec)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, M = b.shape
     dtype = b.dtype
-    H = len(colors) + (1 if residual else 0)
+    has_tr = tr_planes is not None
+    has_corr = ec is not None
+    assert not (restrict or has_corr) or has_tr
+    assert not (residual and restrict)
+    H = len(colors) + (2 if restrict else 1 if residual else 0) \
+        + (1 if has_corr else 0)
     has_x0 = x0 is not None
     is9 = hasattr(op, "aSW")
     ncoef = 9 if is9 else 5
-    n_arrays = ncoef + 1 + (1 if has_x0 else 0)
+    n_arrays = ncoef + 1 + (1 if has_x0 else 0) + (2 if has_tr else 0) \
+        + (1 if has_corr else 0)
 
     # pad rows to a whole number of bands and lanes (cols) to a 128 multiple
     # (Mosaic: HBM slice lane dims must be tile-aligned); padded cells carry
@@ -181,7 +286,8 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
     def pad_rows(a):
         return jnp.pad(a, ((0, N_pad - a.shape[0]), (0, M_pad - a.shape[1])))
     kernel, n_in, n_out = _make_kernel(
-        tuple(colors), residual, has_x0, ncoef, N_pad, M_pad, B, H, W, dtype
+        tuple(colors), residual, has_x0, has_tr, has_corr, restrict,
+        ncoef, N_pad, M_pad, B, H, W, dtype
     )
 
     # explicit HBM: ANY may place small operands in VMEM, where the
@@ -194,6 +300,12 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
     if is9:
         coef_arrays += [op.aSW, op.aSE, op.aNW, op.aNE]
     args = coef_arrays + [b] + ([x0] if has_x0 else [])
+    if has_tr:
+        args += list(tr_planes)
+    if has_corr:
+        # nearest-neighbor upsample: ec(k+di, l+dj) becomes a ±1 fine shift
+        e_up = jnp.repeat(jnp.repeat(ec, 2, axis=0), 2, axis=1)[:N, :M]
+        args.append(e_up)
     args = [pad_rows(a) for a in args]
 
     res = pl.pallas_call(
@@ -222,6 +334,9 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False):
             parts.append(bands[bnd, row0 - start:row0 - start + B])
         return jnp.concatenate(parts, axis=0)[:N, :M]
 
+    if restrict:
+        # even-even positions ARE the coarse grid (== restrict_box result)
+        return extract(res[0]), extract(res[1])[0::2, 0::2]
     if residual:
         return extract(res[0]), extract(res[1])
     return extract(res[0])

@@ -66,3 +66,94 @@ def test_sweep_available_gating():
     assert not ps.sweep_available((130, 130), jnp.float32, backend="cpu")
     assert ps.sweep_available((514, 514), jnp.float32, backend="tpu")
     assert not ps.sweep_available((4100, 4100), jnp.float32, backend="tpu")
+
+
+def _boxmg_level(nx, ny, seed=13):
+    from fluidsolver_tpu.poisson import boxmg
+
+    rng = np.random.default_rng(seed)
+    g = make_grid(0.0, 1.0, nx, 0.0, 1.3, ny)
+    rho_u = jnp.asarray(np.where(rng.random(g.shape_u) > 0.5, 1000.0, 1.0))
+    rho_v = jnp.asarray(np.where(rng.random(g.shape_v) > 0.5, 1000.0, 1.0))
+    op = linsys.assemble_pressure_operator(rho_u, rho_v, g.dx, g.dy, None)
+    tr = boxmg.collapse_weights(op)
+    level = boxmg.BoxLevel(
+        op=op, red=boxmg._checkerboard(op.aC.shape, op.aC.dtype), tr=tr
+    )
+    b = jnp.asarray(rng.normal(size=g.shape_center))
+    x0 = jnp.asarray(rng.normal(size=g.shape_center))
+    return boxmg, level, b, x0
+
+
+def test_fused_restrict_matches_restrict_box():
+    # pre-smooth + fused restriction epilogue == sweeps + restrict_box
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    for nx, ny in [(62, 62), (94, 40), (63, 41)]:
+        boxmg, level, b, _ = _boxmg_level(nx, ny)
+        planes = pv.pack_transfer(level.tr, level.op.aC.shape)
+
+        x_ref = jnp.zeros_like(b)
+        for _ in range(1):
+            x_ref = boxmg._rb_sweep(level, x_ref, b)
+        r_ref = b - linsys.apply_op(level.op, x_ref)
+        bc_ref = boxmg.restrict_box(level.tr, r_ref)
+
+        x, bc = pv.fused_smooth(
+            level.op, b, colors=(True, False), tr_planes=planes,
+            restrict=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(bc), np.asarray(bc_ref),
+                                   rtol=1e-11, atol=1e-11)
+
+
+def test_fused_prolong_matches_prolong_box():
+    # prolongation+correction prologue + post-smooth == prolong_box + sweeps
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    for nx, ny in [(62, 62), (94, 40), (63, 41)]:
+        boxmg, level, b, x0 = _boxmg_level(nx, ny, seed=17)
+        planes = pv.pack_transfer(level.tr, level.op.aC.shape)
+        Nc, Mc = level.tr.pW.shape
+        rng = np.random.default_rng(19)
+        ec = jnp.asarray(rng.normal(size=(Nc, Mc)))
+
+        x_ref = x0 + boxmg.prolong_box(level.tr, ec, b.shape)
+        for _ in range(1):
+            x_ref = boxmg._rb_sweep(level, x_ref, b, reverse=True)
+
+        x = pv.fused_smooth(
+            level.op, b, x0=x0, colors=(False, True), tr_planes=planes,
+            ec=ec, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   rtol=1e-11, atol=1e-11)
+
+
+def test_v_cycle_fused_transfers_wiring(monkeypatch):
+    # the full v_cycle with tr_fine levels == the plain XLA v_cycle
+    import functools
+
+    from fluidsolver_tpu.poisson import boxmg
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    _, level, b, _ = _boxmg_level(64, 64, seed=23)
+    levels = boxmg.build_hierarchy(level.op)
+    ref = boxmg.v_cycle(levels, b)
+
+    fused_levels = [
+        boxmg.BoxLevel(
+            op=l.op, red=l.red, tr=l.tr, coarse_inv=l.coarse_inv,
+            tr_fine=(pv.pack_transfer(l.tr, l.op.aC.shape)
+                     if l.tr is not None else None),
+        )
+        for l in levels
+    ]
+    monkeypatch.setattr(boxmg, "_fused_ok",
+                        lambda level, b: level.tr_fine is not None)
+    monkeypatch.setattr(pv, "fused_smooth",
+                        functools.partial(pv.fused_smooth, interpret=True))
+    got = boxmg.v_cycle(fused_levels, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)

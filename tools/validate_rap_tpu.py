@@ -1,0 +1,102 @@
+"""Real-TPU validation of the fused BoxMG setup kernel (pallas_rap).
+
+Run in a healthy/timeable window. Checks, on the actual Mosaic backend:
+  1. fused_rap compiles and runs at production shapes (512^2 fine, plus
+     the coarse 9-point levels, anisotropic channel shapes);
+  2. outputs match the XLA path (collapse_weights + galerkin_closed) on
+     device to f32 FMA-level tolerances;
+  3. wall-clock for one full hierarchy build, fused vs XLA (differenced
+     batch timing, scalar-read drains — block_until_ready lies on axon).
+
+Prints one line per check; exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("FS_PALLAS_RAP", "0")  # gate handled manually
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsolver_tpu.poisson import boxmg, pallas_rap
+    from fluidsolver_tpu.poisson.linsys import StencilOp
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: not on TPU backend")
+        return 0
+
+    rng = np.random.default_rng(0)
+
+    def op5(n, m):
+        k = 1.0 + 999.0 * (rng.random((n, m)) > 0.5)
+        aL = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
+        aR = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
+        aB = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
+        aT = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
+        return StencilOp(aC=-(aL + aR + aB + aT), aL=aL, aR=aR, aB=aB, aT=aT)
+
+    failures = 0
+    for shape in [(512, 512), (128, 96), (94, 17)]:
+        op = op5(*shape)
+        tr_ref = jax.jit(boxmg.collapse_weights)(op)
+        c_ref = jax.jit(
+            lambda o, t: boxmg.galerkin_closed(o, t, o.aC.shape))(op, tr_ref)
+        tr, c = pallas_rap.fused_rap(op)
+        for name in ("pW", "pE", "pS", "pN", "pSW", "pSE", "pNW", "pNE"):
+            a = np.asarray(getattr(tr, name))
+            b = np.asarray(getattr(tr_ref, name))
+            ok = np.allclose(a, b, rtol=1e-4, atol=1e-4)
+            if not ok:
+                failures += 1
+                print(f"FAIL {shape} weight {name}: "
+                      f"max|d|={np.abs(a - b).max():.3e}")
+        for name in ("aC", "aL", "aR", "aB", "aT", "aSW", "aSE", "aNW", "aNE"):
+            a = np.asarray(getattr(c, name))
+            b = np.asarray(getattr(c_ref, name))
+            scale = max(np.abs(b).max(), 1.0)
+            ok = np.allclose(a, b, rtol=1e-4, atol=1e-4 * scale)
+            if not ok:
+                failures += 1
+                print(f"FAIL {shape} coarse {name}: "
+                      f"max|d|={np.abs(a - b).max():.3e} scale={scale:.1e}")
+        print(f"numerics {shape}: {'ok' if failures == 0 else 'FAILED'}")
+
+    # timing: full hierarchy build, differenced batches, scalar drains
+    op = op5(512, 512)
+
+    def time_build(flag):
+        os.environ["FS_PALLAS_RAP"] = flag
+        build = jax.jit(lambda o: boxmg.build_hierarchy(o)[-1].op.aC)
+        float(build(op)[0, 0])  # compile + first-transfer
+
+        def batch(k):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(k):
+                last = build(op)
+            float(last[0, 0])
+            return time.perf_counter() - t0
+
+        samples = []
+        for _ in range(3):
+            t1, t2 = batch(5), batch(10)
+            samples.append((t2 - t1) / 5 * 1e3)
+        pos = sorted(s for s in samples if s > 0)
+        return pos[len(pos) // 2] if pos else float("nan")
+
+    ms_xla = time_build("0")
+    ms_rap = time_build("1")
+    print(f"hierarchy build 512^2: xla={ms_xla:.2f} ms  rap={ms_rap:.2f} ms  "
+          f"speedup={ms_xla / ms_rap:.2f}x")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
