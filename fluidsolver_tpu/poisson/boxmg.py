@@ -113,6 +113,9 @@ class BoxLevel:
     # (planeU, planeV) fine-shaped parity-packed weights for the fused
     # Pallas transfer paths (pallas_vcycle.pack_transfer), or None
     tr_fine: object = None
+    # TailPack covering THIS and all coarser levels as one Pallas launch
+    # (pallas_tail), or None
+    tail: object = None
 
 
 def _corners(op):
@@ -511,19 +514,38 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
             tr, nxt = pallas_rap.fused_rap(cur)
         else:
             tr = collapse_weights(cur)
-        tr_fine = None
-        if tr is not None and _tr_fine_wanted():
-            from fluidsolver_tpu.poisson import pallas_vcycle as pv
-
-            tr_fine = pv.pack_transfer(tr, shape)
         levels.append(BoxLevel(
             op=cur, red=_checkerboard(shape, dtype), tr=tr,
             coarse_inv=_dense_coarse_inverse(cur) if done and direct else None,
-            tr_fine=tr_fine,
         ))
         if done:
-            return levels
+            return _attach_fused_vcycle(levels)
         cur = nxt if nxt is not None else galerkin_closed(cur, tr, shape)
+
+
+def _attach_fused_vcycle(levels):
+    """Post-pass for the fused Pallas V-cycle (FS_PALLAS_VCYCLE=1, TPU,
+    single device): attach the coarse-tail mega-kernel pack at the first
+    level where the whole remaining hierarchy fits one launch, and the
+    packed transfer planes to the (finer) levels above it."""
+    if not _tr_fine_wanted():
+        return levels
+    from fluidsolver_tpu.poisson import pallas_tail as pt
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    tail_lvl = len(levels)
+    if os.environ.get("FS_PALLAS_TAIL", "1") == "1":
+        for lvl in range(len(levels)):
+            if pt.available(levels, lvl):
+                tail_lvl = lvl
+                break
+    for lvl in range(tail_lvl):
+        if levels[lvl].tr is not None:
+            levels[lvl].tr_fine = pv.pack_transfer(
+                levels[lvl].tr, levels[lvl].op.aC.shape)
+    if tail_lvl < len(levels):
+        levels[tail_lvl].tail = pt.build_tail_pack(levels, tail_lvl)
+    return levels
 
 
 def _rb_sweep(level: BoxLevel, x, b, reverse=False):
@@ -576,6 +598,13 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
 
     def cycle(lvl, b_l):
         level = levels[lvl]
+        if level.tail is not None:
+            # whole remaining hierarchy in one Pallas launch (the coarsest
+            # level runs COARSE_SWEEPS symmetric sweeps in-kernel instead
+            # of the dense inverse — a launch-free, still-symmetric cycle)
+            from fluidsolver_tpu.poisson import pallas_tail as pt
+
+            return pt.tail_cycle(level.tail, b_l, n_pre, n_post)
         x = jnp.zeros_like(b_l)
         if lvl == len(levels) - 1:
             if level.coarse_inv is not None:

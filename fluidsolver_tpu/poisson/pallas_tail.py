@@ -1,0 +1,302 @@
+"""Pallas TPU kernel: the ENTIRE V-cycle coarse tail in one launch.
+
+Below ~160 cells per side, every remaining multigrid level fits in VMEM at
+once, yet the XLA (and even the fused-smoother) path still pays ~13 kernel
+launches per level visit — pure launch latency in the tunnel's degraded
+windows (10-50 us each) where the arrays themselves are tiny. This kernel
+runs the whole tail — pre-smoothing, restriction, ..., coarsest sweeps,
+..., prolongation, post-smoothing for EVERY tail level — as ONE
+pallas_call.
+
+Representation: "pyramid in place". Level d (d=0 is the tail's finest)
+lives at stride-2^d positions of one (Nb, Mb) canvas: the value of level-d
+point (a, b) sits at canvas (a<<d, b<<d); all other positions are zero
+(an invariant maintained by masked updates). Then
+  - a level-d neighbor (a±1) is a static shift by 2^d — Mosaic roll+mask;
+  - the level-d red-black mask is bit arithmetic on iota: (i>>d)+(j>>d);
+  - restriction output lands naturally on level-(d+1)'s stride-2^(d+1)
+    lattice (even level-d points ARE the coarse points) — no compaction;
+  - prolongation reads the dilated coarse error with shifts of 2^d — no
+    lane expansion.
+The per-point arithmetic mirrors boxmg._rb_sweep / restrict_box /
+prolong_box exactly; zero coefficients at inactive positions make
+out-of-level reads contribute exactly the zero-fill the level-edge
+semantics require. The canvas is sized so every level's packed-transfer
+overhang row/col (pack_transfer returns (2Nc, 2Mc) planes; for odd levels
+the pN family carries real entries one row past the level) fits after
+dilation.
+
+The coarsest tail level runs boxmg.COARSE_SWEEPS symmetric red-black
+sweeps via an in-kernel fori_loop (launch-free) instead of boxmg's dense
+direct inverse — applying a dense inverse needs the RHS compacted to a
+vector, which Mosaic cannot do from a dilated layout. The cycle stays a
+symmetric preconditioner; this was the shipped configuration before the
+direct solve existed (see boxmg.COARSE_SWEEPS/DIRECT_COARSEST notes).
+
+Replaces: the per-level recursion of boxmg.v_cycle on small levels (same
+role as the coarse hierarchy of HYPRE PFMG,
+src/LinearSolver_StructHypre.hpp:217-237).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fluidsolver_tpu.core.fields import register_pytree_dataclass
+
+VMEM_BUDGET_BYTES = 9 * 1024 * 1024
+MAX_TAIL_LEVELS = 6
+MAX_TAIL_SIDE = 160
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass
+class TailPack:
+    """Dilated tail-level data, all canvas-shaped (Nb, Mb).
+
+    coefs: tuple over levels of 9-tuples (aC..aNE, boxmg.Stencil9 order;
+           5-point levels carry zero corner planes).
+    planes: tuple over non-last levels of (planeU, planeV) — the
+           pack_transfer parity planes, dilated by the level stride.
+    """
+
+    coefs: tuple
+    planes: tuple
+
+
+def _level_shapes(shape, n_levels):
+    shapes = [shape]
+    for _ in range(n_levels - 1):
+        n, m = shapes[-1]
+        shapes.append(((n + 1) // 2, (m + 1) // 2))
+    return shapes
+
+
+def canvas_shape(shape, n_levels):
+    """Smallest (8-, 128-aligned) canvas holding every dilated level
+    INCLUDING the packed-transfer overhang (2Nc per level)."""
+    shapes = _level_shapes(shape, n_levels)
+    rows = shape[0]
+    cols = shape[1]
+    for d in range(n_levels - 1):
+        nd, md = shapes[d]
+        rows = max(rows, 2 * ((nd + 1) // 2) * (1 << d))
+        cols = max(cols, 2 * ((md + 1) // 2) * (1 << d))
+    return (-(-rows // 8) * 8, -(-cols // 128) * 128)
+
+
+def available(levels, lvl) -> bool:
+    """Tail qualifies: every level from lvl down fits one canvas in VMEM."""
+    shape = levels[lvl].op.aC.shape
+    d = len(levels) - lvl
+    if max(shape) > MAX_TAIL_SIDE or d > MAX_TAIL_LEVELS or d < 2:
+        return False
+    nb, mb = canvas_shape(shape, d)
+    itemsize = jnp.dtype(levels[lvl].op.aC.dtype).itemsize
+    n_planes = 9 * d + 2 * (d - 1) + 8  # coefs + transfer planes + working
+    return nb * mb * n_planes * itemsize < VMEM_BUDGET_BYTES
+
+
+def _dilate(arr, stride, cs):
+    z = jnp.zeros(cs, arr.dtype)
+    n, m = arr.shape
+    return z.at[: n * stride : stride, : m * stride : stride].set(arr)
+
+
+def build_tail_pack(levels, lvl) -> TailPack:
+    """Dilate levels[lvl:] onto the canvas (build-time XLA, once per
+    hierarchy)."""
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+    from fluidsolver_tpu.poisson.boxmg import Stencil9
+
+    n_levels = len(levels) - lvl
+    cs = canvas_shape(levels[lvl].op.aC.shape, n_levels)
+    coefs, planes = [], []
+    for d, level in enumerate(levels[lvl:]):
+        op = level.op
+        stride = 1 << d
+        cc = [_dilate(getattr(op, n), stride, cs)
+              for n in ("aC", "aL", "aR", "aB", "aT")]
+        if isinstance(op, Stencil9):
+            cc += [_dilate(getattr(op, n), stride, cs)
+                   for n in ("aSW", "aSE", "aNW", "aNE")]
+        else:
+            cc += [jnp.zeros(cs, op.aC.dtype)] * 4
+        coefs.append(tuple(cc))
+        if d < n_levels - 1:
+            pU, pV = pv.pack_transfer(level.tr, op.aC.shape)
+            planes.append((_dilate(pU, stride, cs), _dilate(pV, stride, cs)))
+    return TailPack(coefs=tuple(coefs), planes=tuple(planes))
+
+
+def _sh(x, di, dj):
+    """x[i+di, j+dj], zero outside the canvas (roll + iota mask)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = x.shape
+    out = x
+    if di:
+        out = pltpu.roll(out, (-di) % n, 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        out = jnp.where((ii + di >= 0) & (ii + di < n), out, 0.0)
+    if dj:
+        out = pltpu.roll(out, (-dj) % m, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        out = jnp.where((jj + dj >= 0) & (jj + dj < m), out, 0.0)
+    return out
+
+
+def _make_kernel(n_levels, colors_pre, colors_post, coarse_pairs, cs, dtype):
+    Nb, Mb = cs
+
+    def kernel(*refs):
+        # refs: b, 9 coefs per level, 2 planes per non-last level, out x
+        b0 = refs[0][:]
+        coefs = [tuple(refs[1 + 9 * d + k][:] for k in range(9))
+                 for d in range(n_levels)]
+        pbase = 1 + 9 * n_levels
+        planes = [(refs[pbase + 2 * d][:], refs[pbase + 2 * d + 1][:])
+                  for d in range(n_levels - 1)]
+        out_x = refs[pbase + 2 * (n_levels - 1)]
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (Nb, Mb), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Nb, Mb), 1)
+
+        def level_masks(d):
+            active = ((ii & ((1 << d) - 1)) == 0) & \
+                     ((jj & ((1 << d) - 1)) == 0)
+            red = ((((ii >> d) + (jj >> d)) & 1) == 0)
+            return active, red
+
+        def apply_op(cc, x, s):
+            aC, aL, aR, aB, aT, aSW, aSE, aNW, aNE = cc
+            return (
+                aC * x
+                + aL * _sh(x, -s, 0) + aR * _sh(x, s, 0)
+                + aB * _sh(x, 0, -s) + aT * _sh(x, 0, s)
+                + aSW * _sh(x, -s, -s) + aSE * _sh(x, s, -s)
+                + aNW * _sh(x, -s, s) + aNE * _sh(x, s, s)
+            )
+
+        def sweep(cc, x, b, d, want_red, active, red):
+            s = 1 << d
+            aC = cc[0]
+            aC_safe = jnp.where(aC == 0.0, 1.0, aC)
+            ax_off = apply_op(cc, x, s) - aC * x
+            x_new = (b - ax_off) / aC_safe
+            mask = active & (red if want_red else ~red)
+            return jnp.where(mask, x_new, x)
+
+        def restrict(d, r):
+            # P^T r in dilated form (term order = boxmg.restrict_box);
+            # the result is consumed on level d+1's lattice only
+            s = 1 << d
+            pU, pV = planes[d]
+            P1 = pU * r
+            P2 = pV * r
+            return (
+                r
+                + _sh(P1, s, 0)
+                + _sh(_sh(pU, -s, 0) * r, -s, 0)
+                + _sh(P1, 0, s)
+                + _sh(_sh(pU, s, 0) * r, 0, -s)
+                + _sh(P2, s, s)
+                + _sh(_sh(pV, -s, 0) * r, -s, s)
+                + _sh(_sh(pV, 0, -s) * r, s, -s)
+                + _sh(_sh(pV, -s, -s) * r, -s, -s)
+            )
+
+        def prolong_add(d, x, ec, active):
+            # x += P ec (term order = boxmg.prolong_box). At every active
+            # level-d position exactly one of the four shifts of the
+            # dilated ec is its coarse parent ec(a//2, b//2).
+            s = 1 << d
+            pU, pV = planes[d]
+            e = ec + _sh(ec, -s, 0) + _sh(ec, 0, -s) + _sh(ec, -s, -s)
+            oi = ((ii >> d) & 1) == 1
+            oj = ((jj >> d) & 1) == 1
+            corr_oe = pU * _sh(e, -s, 0) + _sh(pU, -s, 0) * _sh(e, s, 0)
+            corr_eo = pU * _sh(e, 0, -s) + _sh(pU, s, 0) * _sh(e, 0, s)
+            corr_oo = (
+                pV * _sh(e, -s, -s) + _sh(pV, -s, 0) * _sh(e, s, -s)
+                + _sh(pV, 0, -s) * _sh(e, -s, s)
+                + _sh(pV, -s, -s) * _sh(e, s, s)
+            )
+            corr = jnp.where(
+                oi, jnp.where(oj, corr_oo, corr_oe),
+                jnp.where(oj, corr_eo, e),
+            )
+            return x + jnp.where(active, corr, 0.0)
+
+        def cycle(d, b):
+            active, red = level_masks(d)
+            cc = coefs[d]
+            x = jnp.zeros((Nb, Mb), dtype)
+            if d == n_levels - 1:
+                # symmetric forward+reverse sweep pairs, launch-free
+                def pair(_, x):
+                    x = sweep(cc, x, b, d, True, active, red)
+                    x = sweep(cc, x, b, d, False, active, red)
+                    x = sweep(cc, x, b, d, False, active, red)
+                    return sweep(cc, x, b, d, True, active, red)
+
+                return jax.lax.fori_loop(0, coarse_pairs, pair, x)
+            for want_red in colors_pre:
+                x = sweep(cc, x, b, d, want_red, active, red)
+            s = 1 << d
+            r = jnp.where(active, b - apply_op(cc, x, s), 0.0)
+            active_c, _ = level_masks(d + 1)
+            bc = jnp.where(active_c, restrict(d, r), 0.0)
+            ec = cycle(d + 1, bc)
+            x = prolong_add(d, x, ec, active)
+            for want_red in colors_post:
+                x = sweep(cc, x, b, d, want_red, active, red)
+            return x
+
+        out_x[:] = cycle(0, b0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_pre", "n_post", "interpret"))
+def tail_cycle(pack: TailPack, b, n_pre=1, n_post=1, interpret=False):
+    """One V(n_pre, n_post) cycle over the whole tail; ``b`` is the tail's
+    finest-level RHS (true shape, undilated). Returns x of the same shape."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fluidsolver_tpu.poisson.boxmg import COARSE_SWEEPS
+
+    N, M = b.shape
+    n_levels = len(pack.coefs)
+    dtype = b.dtype
+    cs = pack.coefs[0][0].shape
+    b_pad = jnp.pad(b, ((0, cs[0] - N), (0, cs[1] - M)))
+
+    args = [b_pad]
+    for cc in pack.coefs:
+        args.extend(cc)
+    for pU, pV in pack.planes:
+        args.extend([pU, pV])
+
+    # one "pair" below = forward + reverse sweep (4 color updates) == one
+    # iteration of boxmg's COARSE_SWEEPS // 2 fori_loop
+    kernel = _make_kernel(
+        n_levels, (True, False) * n_pre, (False, True) * n_post,
+        COARSE_SWEEPS // 2, cs, dtype,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cs, dtype),
+        in_specs=[vmem] * len(args),
+        out_specs=vmem,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return x[:N, :M]

@@ -1,0 +1,110 @@
+"""Coarse-tail mega-kernel (pallas_tail) vs the XLA V-cycle recursion.
+
+The tail kernel must reproduce boxmg.v_cycle exactly when the coarsest
+level runs sweeps (the tail replaces the dense direct inverse with
+in-kernel COARSE_SWEEPS, so the reference hierarchy is built with the
+direct solve disabled). Interpret mode on CPU; the real Mosaic path is
+exercised on TPU via FS_PALLAS_VCYCLE=1.
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidsolver_tpu.core.grid import make_grid
+from fluidsolver_tpu.poisson import boxmg, linsys
+from fluidsolver_tpu.poisson import pallas_tail as pt
+
+
+def _op(nx, ny, seed=13):
+    rng = np.random.default_rng(seed)
+    g = make_grid(0.0, 1.0, nx, 0.0, 1.3, ny)
+    rho_u = jnp.asarray(np.where(rng.random(g.shape_u) > 0.5, 1000.0, 1.0))
+    rho_v = jnp.asarray(np.where(rng.random(g.shape_v) > 0.5, 1000.0, 1.0))
+    op = linsys.assemble_pressure_operator(rho_u, rho_v, g.dx, g.dy, None)
+    b = jnp.asarray(rng.normal(size=op.aC.shape))
+    return op, b
+
+
+def _sweep_levels(op, deep=False):
+    """The production hierarchy with the coarsest-level dense inverse
+    stripped, so v_cycle's coarsest branch runs the same COARSE_SWEEPS the
+    tail kernel runs — the exact structure the tail implements. With
+    ``deep=True`` the direct stop is disabled entirely (more, smaller
+    levels — exercises strides up to 2^5)."""
+    import dataclasses as dc
+
+    if deep:
+        cap = boxmg.DIRECT_CAP
+        boxmg.DIRECT_CAP = 0
+        try:
+            return boxmg.build_hierarchy(op)
+        finally:
+            boxmg.DIRECT_CAP = cap
+    return [dc.replace(l, coarse_inv=None) for l in boxmg.build_hierarchy(op)]
+
+
+@pytest.mark.parametrize("shape,deep", [((64, 64), True), ((126, 94), False),
+                                        ((62, 30), False)])
+def test_tail_cycle_matches_v_cycle(shape, deep):
+    op, b = _op(*shape)
+    levels = _sweep_levels(op, deep=deep)
+    assert pt.available(levels, 0), "tail should qualify at these sizes"
+    ref = boxmg.v_cycle(levels, b)
+    pack = pt.build_tail_pack(levels, 0)
+    got = pt.tail_cycle(pack, b, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_v_cycle_tail_wiring(monkeypatch):
+    """v_cycle with a tail attached mid-hierarchy == running the fine
+    levels via XLA and the tail levels via the kernel."""
+    op, b = _op(64, 64, seed=29)
+    levels = _sweep_levels(op)
+    # attach the tail one level down so both code paths are exercised
+    pack = pt.build_tail_pack(levels, 1)
+    import dataclasses as dc
+
+    tl = [dc.replace(l) for l in levels]
+    tl[1].tail = pack
+    monkeypatch.setattr(
+        pt, "tail_cycle", functools.partial(pt.tail_cycle, interpret=True))
+    got = boxmg.v_cycle(tl, b)
+    ref = boxmg.v_cycle(levels, b)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_tail_preconditioner_convergence(monkeypatch):
+    """Swapping the direct coarsest solve for in-kernel sweeps must not
+    cost PCG convergence (this was the pre-direct-solve configuration)."""
+    import dataclasses as dc
+
+    from fluidsolver_tpu.poisson import cg
+
+    op, _ = _op(64, 64, seed=31)
+    rng = np.random.default_rng(33)
+    b = jnp.asarray(rng.normal(size=op.aC.shape))
+    b = b - jnp.mean(b)
+
+    direct_levels = boxmg.build_hierarchy(op)
+    sweep_levels = _sweep_levels(op)
+    tl = [dc.replace(l) for l in sweep_levels]
+    tl[0].tail = pt.build_tail_pack(sweep_levels, 0)
+    monkeypatch.setattr(
+        pt, "tail_cycle", functools.partial(pt.tail_cycle, interpret=True))
+
+    def solve(levels):
+        _, _, iters = cg.solve_pcg(
+            op, b, tol=1e-8, max_iter=100, singular=True,
+            precond="boxmg", levels=levels)
+        return int(iters)
+
+    it_direct = solve(direct_levels)
+    it_tail = solve(tl)
+    assert it_tail <= it_direct + 3, (it_tail, it_direct)

@@ -95,6 +95,56 @@ def main():
     ms_rap = time_build("1")
     print(f"hierarchy build 512^2: xla={ms_xla:.2f} ms  rap={ms_rap:.2f} ms  "
           f"speedup={ms_xla / ms_rap:.2f}x")
+
+    # fused V-cycle (smoother + in-kernel transfers + coarse-tail kernel)
+    # vs the plain XLA cycle: numerics on-device, then differenced timing
+    op = op5(512, 512)
+    b = jnp.asarray(rng.normal(size=op.aC.shape).astype(np.float32))
+
+    def cycle_fn(flag):
+        os.environ["FS_PALLAS_VCYCLE"] = flag
+        os.environ["FS_PALLAS_RAP"] = "0"
+        import fluidsolver_tpu.poisson.boxmg as bm
+
+        bm._USE_PALLAS_VC = flag == "1"  # read at import; flip directly
+        return jax.jit(lambda o, r: bm.v_cycle(bm.build_hierarchy(o), r))
+
+    x_ref = np.asarray(cycle_fn("0")(op, b))
+    x_fused = np.asarray(cycle_fn("1")(op, b))
+    # the tail swaps the exact coarse solve for sweeps: compare cycles as
+    # preconditioner actions (directionally identical, small abs deviation)
+    denom = max(np.abs(x_ref).max(), 1e-30)
+    dev = np.abs(x_fused - x_ref).max() / denom
+    cos = float(np.sum(x_fused * x_ref)
+                / (np.linalg.norm(x_fused) * np.linalg.norm(x_ref) + 1e-30))
+    print(f"fused v_cycle 512^2: rel_dev={dev:.3e} cosine={cos:.6f}")
+    if not (cos > 0.999):
+        failures += 1
+        print("FAIL: fused v_cycle diverges from XLA cycle")
+
+    def time_cycle(flag):
+        fn = cycle_fn(flag)
+        float(fn(op, b)[0, 0])
+
+        def batch(k):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(k):
+                last = fn(op, b)
+            float(last[0, 0])
+            return time.perf_counter() - t0
+
+        samples = []
+        for _ in range(3):
+            t1, t2 = batch(5), batch(10)
+            samples.append((t2 - t1) / 5 * 1e3)
+        pos = sorted(s for s in samples if s > 0)
+        return pos[len(pos) // 2] if pos else float("nan")
+
+    ms_c_xla = time_cycle("0")
+    ms_c_fused = time_cycle("1")
+    print(f"build+cycle 512^2: xla={ms_c_xla:.2f} ms  fused={ms_c_fused:.2f} "
+          f"ms  speedup={ms_c_xla / ms_c_fused:.2f}x")
     return 1 if failures else 0
 
 
