@@ -516,10 +516,14 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
             tr = collapse_weights(cur)
         levels.append(BoxLevel(
             op=cur, red=_checkerboard(shape, dtype), tr=tr,
-            coarse_inv=_dense_coarse_inverse(cur) if done and direct else None,
         ))
         if done:
-            return _attach_fused_vcycle(levels)
+            levels = _attach_fused_vcycle(levels)
+            if direct and all(l.tail is None for l in levels):
+                # the dense inverse is dead weight when the tail kernel
+                # covers the coarsest level (it sweeps in-kernel instead)
+                levels[-1].coarse_inv = _dense_coarse_inverse(cur)
+            return levels
         cur = nxt if nxt is not None else galerkin_closed(cur, tr, shape)
 
 

@@ -109,7 +109,7 @@ def _apply_coefs(coefs, x):
 
 
 def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
-                 ncoef, N_pad, M, B, H, W, dtype):
+                 ncoef, M, B, H, W, dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,9 +128,10 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
         sem_out = refs[-1]
 
         band = pl.program_id(0)
-        row0 = pl.multiple_of(band * B, 8)
-        # fixed 8-row halo (>= H) keeps the DMA start provably 8-aligned
-        start = pl.multiple_of(jnp.clip(row0 - 8, 0, N_pad - W), 8)
+        # the wrapper zero-pads 8 rows on TOP as well, so band k's window
+        # is statically rows [kB, kB + B + 16) with its interior at local
+        # [8, 8+B) — no clamping, and the interior offset is static
+        start = pl.multiple_of(band * B, 8)
 
         dmas = [
             pltpu.make_async_copy(
@@ -187,10 +188,10 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
             mask = red if want_red else 1.0 - red
             x = jnp.where(mask > 0.5, x_new, x)
 
-        # write each band's FULL window to HBM (windowed VMEM sub-refs must
-        # be tile-aligned in both dims, which M generally is not); the
-        # wrapper extracts the band interiors afterwards in XLA
-        out_buf[0][:] = x
+        # write each band's interior rows [8, 8+B) only — a static
+        # 8-aligned sublane slice — so the wrapper's extraction is a single
+        # reshape instead of per-band slices + concatenate
+        out_buf[0][:] = x[8:8 + B]
         if residual or restrict:
             r = b - _apply_coefs(coefs, x)
             if restrict:
@@ -210,7 +211,7 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
                     + sh(sh(pV, 0, -1) * r, 1, -1)
                     + sh(sh(pV, -1, -1) * r, -1, -1)
                 )
-            out_buf[1][:] = r
+            out_buf[1][:] = r[8:8 + B]
 
         outs_dma = [
             pltpu.make_async_copy(
@@ -277,24 +278,26 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     M_pad = -(-M // 128) * 128
     B = _pick_band(N + 2 * H, M_pad, n_arrays, jnp.dtype(dtype).itemsize, H)
     # fixed 8-row halo on both sides (covers any H <= 8) keeps every DMA
-    # start and slice length provably 8-aligned for Mosaic
+    # start and slice length provably 8-aligned for Mosaic; data sits at
+    # rows [8, 8+N) so every band window is statically rows [kB, kB+B+16)
     assert H <= 8
     W = B + 16
-    n_bands = max(-(-N // B), -(-W // B))
-    N_pad = n_bands * B
+    n_bands = -(-N // B)
+    N_total = n_bands * B + 16
 
     def pad_rows(a):
-        return jnp.pad(a, ((0, N_pad - a.shape[0]), (0, M_pad - a.shape[1])))
+        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+                           (0, M_pad - a.shape[1])))
     kernel, n_in, n_out = _make_kernel(
         tuple(colors), residual, has_x0, has_tr, has_corr, restrict,
-        ncoef, N_pad, M_pad, B, H, W, dtype
+        ncoef, M_pad, B, H, W, dtype
     )
 
     # explicit HBM: ANY may place small operands in VMEM, where the
     # banded DMA becomes a lane-misaligned VMEM slice Mosaic rejects
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((n_bands, W, M_pad), dtype) for _ in range(n_out)
+        jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype) for _ in range(n_out)
     )
     coef_arrays = [op.aC, op.aL, op.aR, op.aB, op.aT]
     if is9:
@@ -315,7 +318,8 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
         in_specs=[hbm] * n_in,
         out_specs=tuple([hbm] * n_out),
         scratch_shapes=(
-            [pltpu.VMEM((W, M_pad), dtype) for _ in range(n_in + n_out)]
+            [pltpu.VMEM((W, M_pad), dtype) for _ in range(n_in)]
+            + [pltpu.VMEM((B, M_pad), dtype) for _ in range(n_out)]
             + [pltpu.SemaphoreType.DMA((n_in,)),
                pltpu.SemaphoreType.DMA((n_out,))]
         ),
@@ -324,15 +328,9 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
         interpret=interpret,
     )(*args)
 
-    # per-band interior extraction (static offsets mirror the kernel's
-    # clamped window starts)
+    # band interiors are written pre-aligned: extraction is one reshape
     def extract(bands):
-        parts = []
-        for bnd in range(n_bands):
-            row0 = bnd * B
-            start = min(max(row0 - 8, 0), N_pad - W)
-            parts.append(bands[bnd, row0 - start:row0 - start + B])
-        return jnp.concatenate(parts, axis=0)[:N, :M]
+        return bands.reshape(n_bands * B, M_pad)[:N, :M]
 
     if restrict:
         # even-even positions ARE the coarse grid (== restrict_box result)

@@ -28,6 +28,24 @@ def _op(nx, ny, seed=13):
     return op, b
 
 
+def _drop_op(nx, ny):
+    """Two-phase drop operator (structured 1000:1 jump): the regime BoxMG
+    is h-independent on (~10-12 PCG iters). The fully random checkerboard
+    of _op is deliberately adversarial for elementwise equivalence tests,
+    but NO multigrid converges fast on it — don't use it to assert
+    iteration counts."""
+    g = make_grid(0.0, 1.0, nx, 0.0, 1.0, ny)
+
+    def rho(shape):
+        X, Y = np.meshgrid(np.linspace(0, 1, shape[0]),
+                           np.linspace(0, 1, shape[1]), indexing="ij")
+        return jnp.asarray(
+            np.where((X - 0.5) ** 2 + (Y - 0.5) ** 2 < 0.09, 1000.0, 1.0))
+
+    return linsys.assemble_pressure_operator(
+        rho(g.shape_u), rho(g.shape_v), g.dx, g.dy, None)
+
+
 def _sweep_levels(op, deep=False):
     """The production hierarchy with the coarsest-level dense inverse
     stripped, so v_cycle's coarsest branch runs the same COARSE_SWEEPS the
@@ -87,7 +105,7 @@ def test_tail_preconditioner_convergence(monkeypatch):
 
     from fluidsolver_tpu.poisson import cg
 
-    op, _ = _op(64, 64, seed=31)
+    op = _drop_op(64, 64)
     rng = np.random.default_rng(33)
     b = jnp.asarray(rng.normal(size=op.aC.shape))
     b = b - jnp.mean(b)
@@ -108,3 +126,47 @@ def test_tail_preconditioner_convergence(monkeypatch):
     it_direct = solve(direct_levels)
     it_tail = solve(tl)
     assert it_tail <= it_direct + 3, (it_tail, it_direct)
+
+
+def test_full_fused_stack_pcg(monkeypatch):
+    """End-to-end wiring of the whole fused Pallas stack (RAP setup +
+    fused smoother + in-kernel transfers + coarse-tail kernel) through
+    build_hierarchy -> solve_pcg, gates forced on, interpret mode."""
+    from fluidsolver_tpu.poisson import cg
+    from fluidsolver_tpu.poisson import pallas_rap
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    op = _drop_op(64, 64)
+    rng = np.random.default_rng(43)
+    b = jnp.asarray(rng.normal(size=op.aC.shape))
+    b = b - jnp.mean(b)
+
+    def solve():
+        levels = boxmg.build_hierarchy(op)
+        x, res, iters = cg.solve_pcg(
+            op, b, tol=1e-8, max_iter=100, singular=True,
+            precond="boxmg", levels=levels)
+        return x, float(res), int(iters)
+
+    x_ref, res_ref, it_ref = solve()
+
+    monkeypatch.setattr(boxmg, "_tr_fine_wanted", lambda: True)
+    monkeypatch.setattr(boxmg, "_rap_fused_ok", lambda shape: True)
+    monkeypatch.setattr(boxmg, "_fused_ok",
+                        lambda level, b: level.tr_fine is not None)
+    monkeypatch.setattr(
+        pallas_rap, "fused_rap",
+        functools.partial(pallas_rap.fused_rap, interpret=True))
+    monkeypatch.setattr(
+        pv, "fused_smooth",
+        functools.partial(pv.fused_smooth, interpret=True))
+    monkeypatch.setattr(
+        pt, "tail_cycle", functools.partial(pt.tail_cycle, interpret=True))
+
+    x, res, iters = solve()
+    assert res < 1e-8
+    assert iters <= it_ref + 3, (iters, it_ref)
+    # same linear system, same tolerance: solutions agree to solver tol
+    scale = float(jnp.abs(x_ref).max())
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               atol=1e-5 * scale)
