@@ -172,11 +172,11 @@ def main():
     # Explicitly-set env vars are respected and skip the canary.
     flags = {}
     _pallas = {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
-               "FS_PALLAS_RAP": "1"}
+               "FS_PALLAS_RAP": "1", "FS_PALLAS_CG": "1"}
     _refresh = {"FS_PRECOND_REFRESH": "step"}
     if (all(os.environ.get(k) is None for k in
             ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_REFRESH",
-             "FS_PALLAS_RAP"))
+             "FS_PALLAS_RAP", "FS_PALLAS_CG"))
             and budget - (time.time() - start) > 1200):
         candidates = [
             ("base", {}),

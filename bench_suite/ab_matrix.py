@@ -41,8 +41,9 @@ VARIANTS = [
                    "FS_PRECOND_DTYPE": "bfloat16"}),
     ("refresh-step", {"FS_PRECOND_REFRESH": "step"}),
     ("rap", {"FS_PALLAS_RAP": "1"}),
+    ("cg", {"FS_PALLAS_CG": "1"}),
     ("all-pallas", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
-                    "FS_PALLAS_RAP": "1"}),
+                    "FS_PALLAS_RAP": "1", "FS_PALLAS_CG": "1"}),
 ]
 SIZES = [512, 1024]
 WARMUP = 20
@@ -67,7 +68,7 @@ def run_variant(name, env_extra, n) -> dict | None:
     env = dict(os.environ)
     # kill any inherited A/B flags, then apply this variant's
     for k in ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_DTYPE",
-              "FS_PRECOND_REFRESH", "FS_PALLAS_RAP"):
+              "FS_PRECOND_REFRESH", "FS_PALLAS_RAP", "FS_PALLAS_CG"):
         env.pop(k, None)
     env.update(env_extra)
     # smaller grids have smaller marginal step times; lengthen the batches

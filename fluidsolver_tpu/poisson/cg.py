@@ -16,6 +16,7 @@ mean subtraction.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -171,18 +172,41 @@ def solve_pcg(
             & (since < STAG_WINDOW)
         )
 
+    # Fused-iteration kernels (FS_PALLAS_CG=1, TPU, single device): the
+    # matvec+dots+axpys of one iteration lower to ~13 XLA fusions; two
+    # Pallas launches replace them (see poisson/pallas_cg.py). The fused
+    # reduction order differs from jnp.sum at rounding level — CG is
+    # self-correcting, convergence criteria are unchanged.
+    use_fused_iter = False
+    if os.environ.get("FS_PALLAS_CG", "0") == "1":
+        import jax as _jax
+
+        from fluidsolver_tpu.poisson import pallas_cg
+
+        use_fused_iter = (
+            _jax.default_backend() == "tpu" and _jax.device_count() == 1
+            and pallas_cg.available(b.shape)
+        )
+
     def body(carry):
         x, r, z, p, rz, k, rel, best, since = carry
-        Ap = apply_op(op, p)
-        pAp = _dot(p, Ap)
-        alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = project(M_inv(r))
-        rz_new = _dot(r, z)
-        beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
-        p = z + beta * p
-        rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
+        if use_fused_iter:
+            from fluidsolver_tpu.poisson import pallas_cg
+
+            x, r, _pAp, rr = pallas_cg.step_ab(op, x, r, p, rz)
+            z, p, rz_new = pallas_cg.step_c(r, M_inv(r), p, rz, singular)
+            rel = jnp.sqrt(rr) / safe_b_norm
+        else:
+            Ap = apply_op(op, p)
+            pAp = _dot(p, Ap)
+            alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = project(M_inv(r))
+            rz_new = _dot(r, z)
+            beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
+            p = z + beta * p
+            rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
         improved = rel < best * 0.9999
         best = jnp.minimum(best, rel)
         since = jnp.where(improved, 0, since + 1)

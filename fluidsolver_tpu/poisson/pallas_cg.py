@@ -1,0 +1,310 @@
+"""Pallas TPU kernels: fused PCG iteration pieces (everything but M^-1).
+
+One PCG iteration outside the preconditioner lowers to ~13 XLA fusions
+(matvec, two dots, three axpys, norm, projection) — per iteration, ~55
+iterations per step. Two kernels replace them:
+
+  step_ab:  Ap = A p; pAp = <p, Ap>; alpha = rz/pAp; x += alpha p;
+            r -= alpha Ap; rr = <r, r>                    (one launch)
+  step_c:   z = project(z_raw); rz_new = <r, z>;
+            beta = rz_new/rz; p = z + beta p              (one launch)
+
+Both exploit that a Pallas TPU grid executes sequentially: grid =
+(2, n_bands) runs ALL phase-0 bands before any phase-1 band, so a dot
+product accumulated into SMEM scratch during phase 0 is complete when
+phase 1 needs it (alpha / the projection mean / beta) — a reduction and
+its consumers fuse into one launch without a host round trip.
+
+Banding mirrors pallas_vcycle: data at rows [8, 8+N), band k's window is
+statically rows [kB, kB+B+16), interiors written pre-aligned. Reduction
+order (per-band partial sums, sequential accumulation) differs from
+jnp.sum's tree reduction, so CG iterates differ from the XLA path at
+rounding level — CG is self-correcting; tests pin convergence and the
+solution, not bitwise iterates.
+
+Replaces: the XLA lowering of the cg.solve_pcg while-loop body (reference
+counterpart: HYPRE StructPCG internals, src/LinearSolver_StructHypre.hpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+VMEM_BUDGET_BYTES = 9 * 1024 * 1024
+
+
+def _shift_in(x, di, dj):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = x.shape
+    out = x
+    if di:
+        out = pltpu.roll(out, (-di) % n, 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        out = jnp.where((ii + di >= 0) & (ii + di < n), out, 0.0)
+    if dj:
+        out = pltpu.roll(out, (-dj) % m, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        out = jnp.where((jj + dj >= 0) & (jj + dj < m), out, 0.0)
+    return out
+
+
+def _band_layout(N, M, n_arrays, dtype):
+    M_pad = -(-M // 128) * 128
+    item = jnp.dtype(dtype).itemsize
+    B = 256
+    while B > 8 and (B + 16) * M_pad * (n_arrays + 4) * item >= VMEM_BUDGET_BYTES:
+        B //= 2
+    n_bands = -(-N // B)
+    return B, M_pad, n_bands, n_bands * B + 16
+
+
+def available(shape) -> bool:
+    return shape[0] >= 32 and shape[1] >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def step_ab(op, x, r, p, rz, interpret=False):
+    """(x', r', pAp, rr) — the alpha half of a PCG iteration, fused."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, M = x.shape
+    dtype = x.dtype
+    B, M_pad, n_bands, N_total = _band_layout(N, M, 9, dtype)
+    W = B + 16
+
+    def pad(a):
+        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+                           (0, M_pad - a.shape[1])))
+
+    args = ([pad(getattr(op, n)) for n in ("aC", "aL", "aR", "aB", "aT")]
+            + [pad(x), pad(r), pad(p),
+               jnp.reshape(rz.astype(dtype), (1, 1))])
+    n_in = len(args)  # 9; ins[8] is the SMEM rz scalar
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + 4]      # x', r', Ap bands, scalars (1,2)
+        win = refs[n_in + 4:n_in + 4 + 6]      # six (W, M_pad) buffers
+        buf = refs[n_in + 10:n_in + 12]        # two (B, M_pad) buffers
+        acc = refs[-3]                          # SMEM (2,): pAp, rr
+        sem_in = refs[-2]
+        sem_out = refs[-1]
+
+        phase = pl.program_id(0)
+        band = pl.program_id(1)
+        start = pl.multiple_of(band * B, 8)
+
+        @pl.when((phase == 0) & (band == 0))
+        def _init():
+            acc[0] = jnp.zeros((), dtype)
+            acc[1] = jnp.zeros((), dtype)
+
+        def load(src_idx, dst, sem_idx):
+            cp = pltpu.make_async_copy(
+                ins[src_idx].at[pl.ds(start, W), :], dst, sem_in.at[sem_idx])
+            cp.start()
+            return cp
+
+        @pl.when(phase == 0)
+        def _matvec():
+            cps = [load(i, win[i], i) for i in range(5)]
+            cps.append(load(7, win[5], 5))  # p
+            for cp in cps:
+                cp.wait()
+            aC, aL, aR, aB, aT = (win[i][:] for i in range(5))
+            pw = win[5][:]
+            Ap = (
+                aC * pw
+                + aL * _shift_in(pw, -1, 0) + aR * _shift_in(pw, 1, 0)
+                + aB * _shift_in(pw, 0, -1) + aT * _shift_in(pw, 0, 1)
+            )[8:8 + B]
+            acc[0] = acc[0] + jnp.sum(pw[8:8 + B] * Ap)
+            buf[0][:] = Ap
+            cp = pltpu.make_async_copy(buf[0], outs[2].at[band],
+                                       sem_out.at[0])
+            cp.start()
+            cp.wait()
+
+        @pl.when(phase == 1)
+        def _axpy():
+            cps = [load(5, win[0], 0), load(6, win[1], 1), load(7, win[2], 2)]
+            cp_ap = pltpu.make_async_copy(
+                outs[2].at[band], buf[0], sem_in.at[3])
+            cp_ap.start()
+            for cp in cps:
+                cp.wait()
+            cp_ap.wait()
+            xw = win[0][:][8:8 + B]
+            rw = win[1][:][8:8 + B]
+            pw = win[2][:][8:8 + B]
+            Ap = buf[0][:]
+            pAp = acc[0]
+            alpha = ins[8][0, 0] / jnp.where(pAp != 0.0, pAp, 1.0)
+            r_new = rw - alpha * Ap
+            acc[1] = acc[1] + jnp.sum(r_new * r_new)
+            buf[0][:] = xw + alpha * pw
+            buf[1][:] = r_new
+            cpx = pltpu.make_async_copy(buf[0], outs[0].at[band],
+                                        sem_out.at[1])
+            cpr = pltpu.make_async_copy(buf[1], outs[1].at[band],
+                                        sem_out.at[2])
+            cpx.start()
+            cpr.start()
+            cpx.wait()
+            cpr.wait()
+
+            @pl.when(band == n_bands - 1)
+            def _scalars():
+                outs[3][0, 0] = acc[0]
+                outs[3][0, 1] = acc[1]
+
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    res = pl.pallas_call(
+        kernel,
+        grid=(2, n_bands),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct((1, 2), dtype),
+        ),
+        in_specs=[hbm] * 8 + [smem],
+        out_specs=(hbm, hbm, hbm, smem),
+        scratch_shapes=(
+            [pltpu.VMEM((W, M_pad), dtype) for _ in range(6)]
+            + [pltpu.VMEM((B, M_pad), dtype) for _ in range(2)]
+            + [pltpu.SMEM((2,), dtype),
+               pltpu.SemaphoreType.DMA((6,)),
+               pltpu.SemaphoreType.DMA((3,))]
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    def extract(bands):
+        return bands.reshape(n_bands * B, M_pad)[:N, :M]
+
+    return (extract(res[0]), extract(res[1]),
+            res[3][0, 0].astype(rz.dtype), res[3][0, 1].astype(rz.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("singular", "interpret"))
+def step_c(r, z_raw, p, rz_prev, singular, interpret=False):
+    """(z, p', rz_new): z = z_raw - mean(z_raw) (if singular), rz_new =
+    <r, z>, p' = z + (rz_new / rz_prev) p — fused. The projected dot uses
+    <r, z - m> = <r, z_raw> - m * sum(r); sum(r) comes in as a scalar."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, M = r.shape
+    dtype = r.dtype
+    B, M_pad, n_bands, N_total = _band_layout(N, M, 5, dtype)
+    W = B + 16
+    inv_cells = 1.0 / float(N * M)
+
+    def pad(a):
+        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+                           (0, M_pad - a.shape[1])))
+
+    sum_r = jnp.sum(r) if singular else jnp.zeros((), r.dtype)
+    scalars_in = jnp.stack(
+        [rz_prev.astype(dtype), sum_r.astype(dtype)]).reshape(1, 2)
+    args = [pad(r), pad(z_raw), pad(p), scalars_in]
+
+    def kernel(*refs):
+        ins = refs[:4]
+        outs = refs[4:7]            # z, p', rz_new (1,1)
+        win = refs[7:10]            # three (W, M_pad)
+        buf = refs[10:12]           # two (B, M_pad)
+        acc = refs[-3]              # SMEM (2,): sum_z, <r, z_raw>
+        sem_in = refs[-2]
+        sem_out = refs[-1]
+
+        phase = pl.program_id(0)
+        band = pl.program_id(1)
+        start = pl.multiple_of(band * B, 8)
+
+        @pl.when((phase == 0) & (band == 0))
+        def _init():
+            acc[0] = jnp.zeros((), dtype)
+            acc[1] = jnp.zeros((), dtype)
+
+        def load(src_idx, dst, sem_idx):
+            cp = pltpu.make_async_copy(
+                ins[src_idx].at[pl.ds(start, W), :], dst, sem_in.at[sem_idx])
+            cp.start()
+            return cp
+
+        @pl.when(phase == 0)
+        def _sums():
+            cps = [load(0, win[0], 0), load(1, win[1], 1)]
+            for cp in cps:
+                cp.wait()
+            rw = win[0][:][8:8 + B]
+            zw = win[1][:][8:8 + B]
+            if singular:
+                acc[0] = acc[0] + jnp.sum(zw)
+            acc[1] = acc[1] + jnp.sum(rw * zw)
+
+        @pl.when(phase == 1)
+        def _update():
+            cps = [load(1, win[1], 1), load(2, win[2], 2)]
+            for cp in cps:
+                cp.wait()
+            zw = win[1][:][8:8 + B]
+            pw = win[2][:][8:8 + B]
+            mean_z = acc[0] * inv_cells if singular else jnp.zeros((), dtype)
+            rz_new = acc[1] - mean_z * ins[3][0, 1]
+            beta = rz_new / jnp.where(ins[3][0, 0] != 0.0, ins[3][0, 0], 1.0)
+            z_proj = zw - mean_z
+            buf[0][:] = z_proj
+            buf[1][:] = z_proj + beta * pw
+            cpz = pltpu.make_async_copy(buf[0], outs[0].at[band],
+                                        sem_out.at[0])
+            cpp = pltpu.make_async_copy(buf[1], outs[1].at[band],
+                                        sem_out.at[1])
+            cpz.start()
+            cpp.start()
+            cpz.wait()
+            cpp.wait()
+
+            @pl.when(band == n_bands - 1)
+            def _scalars():
+                outs[2][0, 0] = rz_new
+
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    res = pl.pallas_call(
+        kernel,
+        grid=(2, n_bands),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        in_specs=[hbm] * 3 + [smem],
+        out_specs=(hbm, hbm, smem),
+        scratch_shapes=(
+            [pltpu.VMEM((W, M_pad), dtype) for _ in range(3)]
+            + [pltpu.VMEM((B, M_pad), dtype) for _ in range(2)]
+            + [pltpu.SMEM((2,), dtype),
+               pltpu.SemaphoreType.DMA((3,)),
+               pltpu.SemaphoreType.DMA((2,))]
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    def extract(bands):
+        return bands.reshape(n_bands * B, M_pad)[:N, :M]
+
+    return (extract(res[0]), extract(res[1]),
+            res[2][0, 0].astype(rz_prev.dtype))
