@@ -42,6 +42,7 @@ VARIANTS = [
     ("refresh-step", {"FS_PRECOND_REFRESH": "step"}),
     ("rap", {"FS_PALLAS_RAP": "1"}),
     ("cg", {"FS_PALLAS_CG": "1"}),
+    ("vcycle-notail", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_TAIL": "0"}),
     ("all-pallas", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
                     "FS_PALLAS_RAP": "1", "FS_PALLAS_CG": "1"}),
 ]
@@ -68,7 +69,8 @@ def run_variant(name, env_extra, n) -> dict | None:
     env = dict(os.environ)
     # kill any inherited A/B flags, then apply this variant's
     for k in ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_DTYPE",
-              "FS_PRECOND_REFRESH", "FS_PALLAS_RAP", "FS_PALLAS_CG"):
+              "FS_PRECOND_REFRESH", "FS_PALLAS_RAP", "FS_PALLAS_CG",
+              "FS_PALLAS_TAIL"):
         env.pop(k, None)
     env.update(env_extra)
     # smaller grids have smaller marginal step times; lengthen the batches
