@@ -112,3 +112,36 @@ def sample_centered(field: jnp.ndarray, x0, dx: float, y0, dy: float, px, py):
     a = (f10 - f00) / dx * xi + f00
     b = (f11 - f01) / dx * xi + f01
     return (b - a) / dy * eta + a
+
+
+def sample_centered_stack(fields, x0, dx: float, y0, dy: float, px, py):
+    """``sample_centered`` for a STACK of same-shape fields (F, nx+2, ny+2)
+    at the same points: the 4 corner reads of all F fields collapse into ONE
+    gather (each separate gather is its own XLA kernel — 8 gathers per RK4
+    backtrace become 1 per stage). Per-element arithmetic is identical to
+    ``sample_centered``. Returns (F,) + px.shape."""
+    nxi = fields.shape[1] - 2
+    nyi = fields.shape[2] - 2
+
+    def indices(pos, g0, delta, n):
+        prev = jnp.floor((pos - g0) / delta).astype(jnp.int32)
+        nxt = jnp.floor((pos - g0) / delta + 1.0).astype(jnp.int32)
+        lo = (pos <= g0) | (prev < 0)
+        hi = (pos >= g0 + (n - 1) * delta) | (nxt >= n)
+        prev = jnp.where(lo, 0, jnp.where(hi, n - 1, prev))
+        nxt = jnp.where(lo, 0, jnp.where(hi, n - 1, nxt))
+        return prev, nxt
+
+    ip, inx = indices(px, x0, dx, nxi)
+    jp, jnx = indices(py, y0, dy, nyi)
+
+    I = jnp.stack([ip, inx, ip, inx]) + 1      # (4,) + px.shape
+    J = jnp.stack([jp, jp, jnx, jnx]) + 1
+    f = fields[:, I, J]                         # (F, 4) + px.shape
+    f00, f10, f01, f11 = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
+
+    xi = px - (x0 + ip * dx)
+    eta = py - (y0 + jp * dy)
+    a = (f10 - f00) / dx * xi + f00
+    b = (f11 - f01) / dx * xi + f01
+    return (b - a) / dy * eta + a

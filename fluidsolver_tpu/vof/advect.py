@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
 from fluidsolver_tpu.core.grid import Grid
-from fluidsolver_tpu.ops.stencil import sample_centered
+from fluidsolver_tpu.ops.stencil import sample_centered_stack
 from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift, clamp_lanes
 
 K = 16  # vertex buffer size: octagon (8) + 4 rect clips + PLIC clip <= 13
@@ -60,11 +60,12 @@ def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt):
     # numpy scalar would promote the whole f32 backtrack (and hence vf) to f64
     x0 = float(grid.xm[1])
     y0 = float(grid.ym[1])
+    # one gather per RK stage instead of eight (u+v, 4 corners each)
+    UiVi = jnp.stack([Ui, Vi])
 
     def vel(x, y):
-        u = sample_centered(Ui, x0, grid.dx, y0, grid.dy, x, y)
-        v = sample_centered(Vi, x0, grid.dx, y0, grid.dy, x, y)
-        return u, v
+        uv = sample_centered_stack(UiVi, x0, grid.dx, y0, grid.dy, x, y)
+        return uv[0], uv[1]
 
     u1, v1 = vel(px, py)
     u2, v2 = vel(px - 0.5 * dt * u1, py - 0.5 * dt * v1)
@@ -365,15 +366,21 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
     cell_area = dx * dy
     volume_error = jnp.abs(cell_area - jnp.abs(oct_area))
 
-    # ---- gathered 3x3 neighborhood -----------------------------------------
-    def nb(f):
-        return jnp.stack([f[1 + iig + di, 1 + jjg + dj] for di, dj in _NEIGHBOR_OFFSETS])
-
-    vf_nb = nb(vf_old)
-    mixed = nb(rec.valid)
-    pnx = nb(rec.nx)
-    pny = nb(rec.ny)
-    pd = nb(rec.d)
+    # ---- gathered 3x3 neighborhood: ONE gather for all 5 fields x 9
+    # neighbors (45 separate gathers would be 45 XLA kernels; a gather is
+    # never fused with its consumers)
+    offs_i = jnp.asarray([di for di, _ in _NEIGHBOR_OFFSETS], jnp.int32)
+    offs_j = jnp.asarray([dj for _, dj in _NEIGHBOR_OFFSETS], jnp.int32)
+    II = 1 + offs_i[:, None] + iig[None, :]     # (9, m)
+    JJ = 1 + offs_j[:, None] + jjg[None, :]
+    stacked = jnp.stack([vf_old, rec.valid.astype(dtype),
+                         rec.nx, rec.ny, rec.d])
+    gathered = stacked[:, II, JJ]               # (5, 9, m)
+    vf_nb = gathered[0]
+    mixed = gathered[1] > 0.5
+    pnx = gathered[2]
+    pny = gathered[3]
+    pd = gathered[4]
     offs = jnp.asarray(_NEIGHBOR_OFFSETS, dtype)
     x_lo = (offs[:, 0] * dx)[:, None] * jnp.ones((1, m), dtype)
     y_lo = (offs[:, 1] * dy)[:, None] * jnp.ones((1, m), dtype)

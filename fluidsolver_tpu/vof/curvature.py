@@ -182,18 +182,26 @@ def _curvature_vm_sparse(vf_old: jnp.ndarray, rec: Plic, grid: Grid, m: int) -> 
         ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
     iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
 
+    # one batched gather for all 4 fields x 9 neighborhoods (36 separate
+    # gathers = 36 unfusable XLA kernels)
+    dt_ = vf_old.dtype
+    offs_i = jnp.asarray([di for di, _ in _NEIGHBOR_OFFSETS], jnp.int32)
+    offs_j = jnp.asarray([dj for _, dj in _NEIGHBOR_OFFSETS], jnp.int32)
+    II = 1 + offs_i[:, None] + iig[None, :]
+    JJ = 1 + offs_j[:, None] + jjg[None, :]
+    stacked = jnp.stack([rec.nx, rec.ny, rec.d, rec.valid.astype(dt_)])
+    gathered = stacked[:, II, JJ]  # (4, 9, m)
     nb = {}
-    for di, dj in _NEIGHBOR_OFFSETS:
-        pnx = rec.nx[1 + iig + di, 1 + jjg + dj]
-        pny = rec.ny[1 + iig + di, 1 + jjg + dj]
-        pd = rec.d[1 + iig + di, 1 + jjg + dj]
+    for k, (di, dj) in enumerate(_NEIGHBOR_OFFSETS):
+        pnx, pny, pd = gathered[0, k], gathered[1, k], gathered[2, k]
         p0, p1 = segment_endpoints_vals(pnx, pny, pd, dx, dy)
         nb[(di, dj)] = (
             p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1],
-            rec.valid[1 + iig + di, 1 + jjg + dj],
+            gathered[3, k] > 0.5,
         )
-    t_nx = rec.nx[1 + iig, 1 + jjg]
-    t_ny = rec.ny[1 + iig, 1 + jjg]
+    center = _NEIGHBOR_OFFSETS.index((0, 0))
+    t_nx = gathered[0, center]
+    t_ny = gathered[1, center]
     curv = _vm_core(nb, t_nx, t_ny, dx, dy, vf_old.dtype)
     return jnp.zeros_like(vf_old).at[1 + ii, 1 + jj].set(curv, mode="drop")
 

@@ -262,7 +262,12 @@ def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
     ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
     iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
 
-    vfn = {(di, dj): vf[1 + iig + di, 1 + jjg + dj] for di, dj in _NEIGHBOR_OFFSETS}
+    # one batched gather for all 9 neighborhoods (9 separate gathers = 9
+    # unfusable XLA kernels)
+    offs_i = jnp.asarray([di for di, _ in _NEIGHBOR_OFFSETS], jnp.int32)
+    offs_j = jnp.asarray([dj for _, dj in _NEIGHBOR_OFFSETS], jnp.int32)
+    g = vf[1 + offs_i[:, None] + iig[None, :], 1 + offs_j[:, None] + jjg[None, :]]
+    vfn = {od: g[k] for k, od in enumerate(_NEIGHBOR_OFFSETS)}
     best_nx, best_ny, best_d = _elvira_candidates(vfn, dx, dy)
 
     def scatter(vals, fill):
