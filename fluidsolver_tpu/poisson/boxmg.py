@@ -429,11 +429,16 @@ def _dense_coarse_inverse(op) -> jnp.ndarray:
     discarded downstream (cg.solve_pcg projects the preconditioned residual
     in the singular case). For nonsingular pinned operators the rank-one
     perturbation merely makes the coarse solve ~99% exact — irrelevant for
-    a preconditioner."""
+    a preconditioner.
+
+    Low-precision hierarchies (FS_PRECOND_DTYPE=bfloat16) assemble and
+    invert in f32: linalg.inv has no bf16 kernel (LAPACK raises on CPU) and
+    a bf16 inverse would be useless anyway; v_cycle casts around the
+    matvec."""
     c = op.aC
     N, M = c.shape
     n = N * M
-    dtype = c.dtype
+    dtype = jnp.promote_types(c.dtype, jnp.float32)
     names = list(_A_OFFSETS) if isinstance(op, Stencil9) else list(_A_OFFSETS)[:5]
     I = lax.broadcasted_iota(jnp.int32, (N, M), 0)
     J = lax.broadcasted_iota(jnp.int32, (N, M), 1)
@@ -444,7 +449,7 @@ def _dense_coarse_inverse(op) -> jnp.ndarray:
         coef = getattr(op, name)
         valid = (I + di >= 0) & (I + di < N) & (J + dj >= 0) & (J + dj < M)
         cols = jnp.clip(((I + di) * M + (J + dj)).ravel(), 0, n - 1)
-        vals = jnp.where(valid, coef, 0.0).ravel()
+        vals = jnp.where(valid, coef, 0.0).astype(dtype).ravel()
         A = A.at[rows, cols].add(vals)
     diag = jnp.diagonal(A)
     live = diag != 0.0
@@ -613,8 +618,11 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
         if lvl == len(levels) - 1:
             if level.coarse_inv is not None:
                 # exact coarse solve: ONE tiny matvec instead of ~64
-                # latency-bound color-update kernels
-                return (level.coarse_inv @ b_l.ravel()).reshape(b_l.shape)
+                # latency-bound color-update kernels (inverse held in f32
+                # even for bf16 hierarchies — see _dense_coarse_inverse)
+                inv = level.coarse_inv
+                xc = inv @ b_l.ravel().astype(inv.dtype)
+                return xc.reshape(b_l.shape).astype(b_l.dtype)
             # fori_loop, not unrolled: 32 sweep pairs of 9-point color
             # updates would otherwise dominate the whole solver's XLA graph
             def pair(_, x):

@@ -109,7 +109,14 @@ def solve_pcg(
                 z = mg_impl.v_cycle(
                     levels, r.astype(lvl_dtype), n_pre=n_pre, n_post=n_post
                 )
-                return z.astype(r.dtype)
+                # low-precision cycles can emit non-finite values on extreme
+                # operators (bf16 rounding can make a near-singular coarse
+                # row blow up); a NaN direction would poison x permanently
+                # while the NaN relative residual FALSELY exits the loop
+                # (NaN > tol is False). Sanitize: a zeroed direction merely
+                # wastes the iteration and the stagnation guard stays honest.
+                return jnp.nan_to_num(z.astype(r.dtype),
+                                      nan=0.0, posinf=0.0, neginf=0.0)
         else:
             def M_inv(r):
                 return mg_impl.v_cycle(levels, r, n_pre=n_pre, n_post=n_post)
@@ -189,27 +196,42 @@ def solve_pcg(
         )
 
     def body(carry):
-        x, r, z, p, rz, k, rel, best, since = carry
+        x0_, r0_, z0_, p0_, rz, k, rel0_, best, since = carry
         if use_fused_iter:
             from fluidsolver_tpu.poisson import pallas_cg
 
-            x, r, _pAp, rr = pallas_cg.step_ab(op, x, r, p, rz)
-            z, p, rz_new = pallas_cg.step_c(r, M_inv(r), p, rz, singular)
+            x, r, pAp, rr = pallas_cg.step_ab(op, x0_, r0_, p0_, rz)
+            z, p, rz_new = pallas_cg.step_c(r, M_inv(r), p0_, rz, singular)
             rel = jnp.sqrt(rr) / safe_b_norm
         else:
-            Ap = apply_op(op, p)
-            pAp = _dot(p, Ap)
+            Ap = apply_op(op, p0_)
+            pAp = _dot(p0_, Ap)
             alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
+            x = x0_ + alpha * p0_
+            r = r0_ - alpha * Ap
             z = project(M_inv(r))
             rz_new = _dot(r, z)
             beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
-            p = z + beta * p
+            p = z + beta * p0_
             rel = jnp.sqrt(_dot(r, r)) / safe_b_norm
-        improved = rel < best * 0.9999
+        # Breakdown guard: for an SPD system pAp > 0 whenever p != 0; a
+        # non-positive or non-finite value means the (rounded, e.g. bf16)
+        # preconditioner broke CG's invariants this iteration. Reject the
+        # update — keep the last good iterate — and trip the stagnation
+        # exit. Without this, alpha overflows, x goes NaN, and the NaN
+        # relative residual FALSELY satisfies the loop exit (NaN > tol is
+        # False) while returning a poisoned solution.
+        ok = (pAp > 0.0) & jnp.isfinite(rel) & jnp.isfinite(rz_new)
+        x = jnp.where(ok, x, x0_)
+        r = jnp.where(ok, r, r0_)
+        z = jnp.where(ok, z, z0_)
+        p = jnp.where(ok, p, p0_)
+        rz_new = jnp.where(ok, rz_new, rz)
+        rel = jnp.where(ok, rel, rel0_)
+        improved = ok & (rel < best * 0.9999)
         best = jnp.minimum(best, rel)
-        since = jnp.where(improved, 0, since + 1)
+        since = jnp.where(improved, 0,
+                          jnp.where(ok, since + 1, STAG_WINDOW))
         return (x, r, z, p, rz_new, k + 1, rel, best, since)
 
     x, r, _, _, _, iters, rel, _, _ = lax.while_loop(

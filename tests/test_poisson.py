@@ -318,3 +318,40 @@ def test_rhs_mean_subtraction_and_pinning():
     assert abs(float(jnp.mean(rhs))) < 1e-14
     rhs = linsys.build_pressure_rhs(div, g.dx, g.dy, 0.1, pin="left")
     assert np.allclose(np.asarray(rhs[0, :]), 0.0)
+
+
+def test_bf16_precond_direct_inverse_and_containment():
+    """FS_PRECOND_DTYPE=bfloat16 regression: the dense coarse inverse must
+    build (linalg.inv has no bf16 kernel -> held in f32), and a PCG solve
+    with a bf16 preconditioner on an adversarial operator must return a
+    FINITE residual (non-finite bf16 cycle outputs are sanitized; a NaN
+    relative residual would falsely exit the loop and poison x)."""
+    import numpy as np
+
+    from fluidsolver_tpu.core.grid import make_grid
+    from fluidsolver_tpu.poisson import boxmg, cg, linsys
+
+    rng = np.random.default_rng(3)
+    g = make_grid(0.0, 1.0, 64, 0.0, 1.0, 64)
+    rho_u = jnp.asarray(np.where(rng.random(g.shape_u) > 0.5, 1000.0, 1.0))
+    rho_v = jnp.asarray(np.where(rng.random(g.shape_v) > 0.5, 1000.0, 1.0))
+    op = linsys.assemble_pressure_operator(rho_u, rho_v, g.dx, g.dy, None)
+    op32 = linsys.StencilOp(
+        **{k: getattr(op, k).astype(jnp.float32)
+           for k in ("aC", "aL", "aR", "aB", "aT")})
+
+    # bf16 hierarchy with a direct coarsest level builds and stays finite
+    op16 = linsys.StencilOp(
+        **{k: getattr(op, k).astype(jnp.bfloat16)
+           for k in ("aC", "aL", "aR", "aB", "aT")})
+    levels = boxmg.build_hierarchy(op16)
+    assert levels[-1].coarse_inv is None or \
+        levels[-1].coarse_inv.dtype == jnp.float32
+
+    b = jnp.asarray(rng.normal(size=op.aC.shape), jnp.float32)
+    b = b - jnp.mean(b)
+    x, res, iters = cg.solve_pcg(
+        op32, b, tol=1e-5, max_iter=60, singular=True,
+        precond="boxmg", precond_dtype=jnp.bfloat16)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(jnp.isfinite(res))
