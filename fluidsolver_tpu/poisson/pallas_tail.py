@@ -97,7 +97,9 @@ def available(levels, lvl) -> bool:
         return False
     nb, mb = canvas_shape(shape, d)
     itemsize = jnp.dtype(levels[lvl].op.aC.dtype).itemsize
-    n_planes = 9 * d + 2 * (d - 1) + 8  # coefs + transfer planes + working
+    # resident: 9d coef + 2(d-1) transfer inputs; live during recursion:
+    # x and b per level on the stack (~2d) plus working temporaries
+    n_planes = 9 * d + 2 * (d - 1) + 2 * d + 8
     return nb * mb * n_planes * itemsize < VMEM_BUDGET_BYTES
 
 
