@@ -192,7 +192,7 @@ def solve_pcg(
 
         use_fused_iter = (
             _jax.default_backend() == "tpu" and _jax.device_count() == 1
-            and pallas_cg.available(b.shape)
+            and pallas_cg.available(b.shape, b.dtype)
         )
 
     def body(carry):

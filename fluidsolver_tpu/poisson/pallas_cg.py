@@ -62,7 +62,9 @@ def _band_layout(N, M, n_arrays, dtype):
     return B, M_pad, n_bands, n_bands * B + 16
 
 
-def available(shape) -> bool:
+def available(shape, dtype=None) -> bool:
+    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
+        return False  # f64 is emulated on TPU; Mosaic rejects it
     return shape[0] >= 32 and shape[1] >= 2
 
 

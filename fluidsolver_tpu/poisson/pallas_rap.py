@@ -208,7 +208,8 @@ def _pick_band(M_total, ncoef, itemsize):
 
 
 def available(shape, dtype) -> bool:
-    del dtype
+    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
+        return False  # f64 is emulated on TPU; Mosaic rejects it
     return shape[0] >= 8 and shape[1] >= 8
 
 

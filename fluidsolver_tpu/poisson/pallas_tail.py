@@ -92,6 +92,8 @@ def canvas_shape(shape, n_levels):
 def available(levels, lvl) -> bool:
     """Tail qualifies: every level from lvl down fits one canvas in VMEM."""
     shape = levels[lvl].op.aC.shape
+    if jnp.dtype(levels[lvl].op.aC.dtype).itemsize > 4:
+        return False  # f64 is emulated on TPU; Mosaic rejects it
     d = len(levels) - lvl
     if max(shape) > MAX_TAIL_SIDE or d > MAX_TAIL_LEVELS or d < 2:
         return False

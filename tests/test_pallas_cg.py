@@ -108,6 +108,9 @@ def test_pcg_fused_iteration_end_to_end(monkeypatch):
                         functools.partial(pc.step_c, interpret=True))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda: 1)
+    # tests run in f64 (conftest x64); bypass the f64-on-TPU dtype gate so
+    # the fused interpret-mode path is actually exercised
+    monkeypatch.setattr(pc, "available", lambda *a, **k: True)
     x, res, iters = solve()
     assert float(res) < 1e-8
     assert int(iters) <= int(it_ref) + 3
