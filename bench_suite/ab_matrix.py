@@ -31,22 +31,24 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "output", "ab_matrix.jsonl")
 
+# decisive comparisons first: short healthy windows should still yield
+# the headline-relevant rows before degrading
 VARIANTS = [
     ("base", {}),
+    ("all-pallas", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
+                    "FS_PALLAS_RAP": "1", "FS_PALLAS_CG": "1"}),
+    ("refresh-step", {"FS_PRECOND_REFRESH": "step"}),
     ("vcycle", {"FS_PALLAS_VCYCLE": "1"}),
+    ("rap", {"FS_PALLAS_RAP": "1"}),
+    ("cg", {"FS_PALLAS_CG": "1"}),
     ("momentum", {"FS_PALLAS_MOMENTUM": "1"}),
     ("both", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1"}),
+    ("vcycle-notail", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_TAIL": "0"}),
     ("bf16", {"FS_PRECOND_DTYPE": "bfloat16"}),
     ("both+bf16", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
                    "FS_PRECOND_DTYPE": "bfloat16"}),
-    ("refresh-step", {"FS_PRECOND_REFRESH": "step"}),
-    ("rap", {"FS_PALLAS_RAP": "1"}),
-    ("cg", {"FS_PALLAS_CG": "1"}),
-    ("vcycle-notail", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_TAIL": "0"}),
-    ("all-pallas", {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
-                    "FS_PALLAS_RAP": "1", "FS_PALLAS_CG": "1"}),
 ]
-SIZES = [512, 1024]
+SIZES = [1024, 512]
 WARMUP = 20
 
 
