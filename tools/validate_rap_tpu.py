@@ -145,6 +145,31 @@ def main():
     ms_c_fused = time_cycle("1")
     print(f"build+cycle 512^2: xla={ms_c_xla:.2f} ms  fused={ms_c_fused:.2f} "
           f"ms  speedup={ms_c_xla / ms_c_fused:.2f}x")
+
+    # fused PCG iteration (FS_PALLAS_CG): full solve numerics + timing
+    from fluidsolver_tpu.poisson import cg
+
+    import fluidsolver_tpu.poisson.boxmg as bm
+    bm._USE_PALLAS_VC = False
+    os.environ["FS_PALLAS_VCYCLE"] = "0"
+    bnorm = b - jnp.mean(b)
+
+    def solve_fn(flag):
+        os.environ["FS_PALLAS_CG"] = flag
+        return jax.jit(lambda o, r: cg.solve_pcg(
+            o, r, tol=1e-4, max_iter=60, singular=True, precond="boxmg"))
+
+    x0_, res0, it0 = solve_fn("0")(op, bnorm)
+    x1_, res1, it1 = solve_fn("1")(op, bnorm)
+    res0, it0 = float(res0), int(it0)
+    res1, it1 = float(res1), int(it1)
+    dx = float(jnp.max(jnp.abs(x1_ - x0_))) / max(
+        float(jnp.max(jnp.abs(x0_))), 1e-30)
+    print(f"fused-cg solve 512^2: base res={res0:.2e}/{it0}it "
+          f"fused res={res1:.2e}/{it1}it  rel_dx={dx:.2e}")
+    if not (res1 < 1e-3 and it1 <= it0 + 5):
+        failures += 1
+        print("FAIL: fused-cg solve quality")
     return 1 if failures else 0
 
 
