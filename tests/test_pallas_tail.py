@@ -69,7 +69,8 @@ def _sweep_levels(op, deep=False):
 def test_tail_cycle_matches_v_cycle(shape, deep):
     op, b = _op(*shape)
     levels = _sweep_levels(op, deep=deep)
-    assert pt.available(levels, 0), "tail should qualify at these sizes"
+    assert pt.available(levels, 0, ignore_dtype=True), \
+        "tail should qualify at these sizes"
     ref = boxmg.v_cycle(levels, b)
     pack = pt.build_tail_pack(levels, 0)
     got = pt.tail_cycle(pack, b, interpret=True)
@@ -162,6 +163,10 @@ def test_full_fused_stack_pcg(monkeypatch):
         functools.partial(pv.fused_smooth, interpret=True))
     monkeypatch.setattr(
         pt, "tail_cycle", functools.partial(pt.tail_cycle, interpret=True))
+    # tests run f64 (x64 conftest): bypass the f64-on-TPU gate so the tail
+    # actually attaches in this forced-on configuration
+    monkeypatch.setattr(
+        pt, "available", functools.partial(pt.available, ignore_dtype=True))
 
     x, res, iters = solve()
     assert res < 1e-8
