@@ -478,7 +478,7 @@ def _tr_fine_wanted() -> bool:
     return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
-def _rap_fused_ok(shape) -> bool:
+def _rap_fused_ok(shape, dtype) -> bool:
     """Gate for the fused Pallas setup kernel (pallas_rap.fused_rap):
     opt-in, TPU backend, single device (pallas_call does not partition
     under GSPMD), and a shape the banded kernel accepts."""
@@ -490,7 +490,7 @@ def _rap_fused_ok(shape) -> bool:
         return False
     from fluidsolver_tpu.poisson import pallas_rap
 
-    return pallas_rap.available(shape, None)
+    return pallas_rap.available(shape, dtype)
 
 
 def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
@@ -513,7 +513,7 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
         nxt = None
         if done:
             tr = None
-        elif _rap_fused_ok(shape):
+        elif _rap_fused_ok(shape, dtype):
             from fluidsolver_tpu.poisson import pallas_rap
 
             tr, nxt = pallas_rap.fused_rap(cur)

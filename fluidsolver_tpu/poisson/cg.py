@@ -194,14 +194,19 @@ def solve_pcg(
             _jax.default_backend() == "tpu" and _jax.device_count() == 1
             and pallas_cg.available(b.shape, b.dtype)
         )
+        if use_fused_iter:
+            # pad the loop-invariant operator planes ONCE, outside the loop
+            op_padded = pallas_cg.pad_operator(op, b.shape)
 
     def body(carry):
         x0_, r0_, z0_, p0_, rz, k, rel0_, best, since = carry
         if use_fused_iter:
             from fluidsolver_tpu.poisson import pallas_cg
 
-            x, r, pAp, rr = pallas_cg.step_ab(op, x0_, r0_, p0_, rz)
-            z, p, rz_new = pallas_cg.step_c(r, M_inv(r), p0_, rz, singular)
+            x, r, pAp, rr, sum_r = pallas_cg.step_ab(
+                op_padded, x0_, r0_, p0_, rz)
+            z, p, rz_new = pallas_cg.step_c(
+                r, M_inv(r), p0_, rz, singular, sum_r=sum_r)
             rel = jnp.sqrt(rr) / safe_b_norm
         else:
             Ap = apply_op(op, p0_)

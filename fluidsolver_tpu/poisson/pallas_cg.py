@@ -36,20 +36,8 @@ import jax.numpy as jnp
 VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
-def _shift_in(x, di, dj):
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, m = x.shape
-    out = x
-    if di:
-        out = pltpu.roll(out, (-di) % n, 0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-        out = jnp.where((ii + di >= 0) & (ii + di < n), out, 0.0)
-    if dj:
-        out = pltpu.roll(out, (-dj) % m, 1)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        out = jnp.where((jj + dj >= 0) & (jj + dj < m), out, 0.0)
-    return out
+# zero-fill masked shift — single definition in pallas_vcycle
+from fluidsolver_tpu.poisson.pallas_vcycle import _shift_in  # noqa: E402
 
 
 def _band_layout(N, M, n_arrays, dtype):
@@ -62,6 +50,21 @@ def _band_layout(N, M, n_arrays, dtype):
     return B, M_pad, n_bands, n_bands * B + 16
 
 
+def pad_operator(op, shape):
+    """Pad the five coefficient planes to the band layout ONCE — called
+    before the CG while_loop so the (loop-invariant) pads are guaranteed
+    hoisted instead of relying on XLA's while-loop code motion."""
+    N, M = shape
+    dtype = op.aC.dtype
+    B, M_pad, n_bands, N_total = _band_layout(N, M, 9, dtype)
+
+    def pad(a):
+        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+                           (0, M_pad - a.shape[1])))
+
+    return tuple(pad(getattr(op, n)) for n in ("aC", "aL", "aR", "aB", "aT"))
+
+
 def available(shape, dtype=None) -> bool:
     if dtype is not None and jnp.dtype(dtype).itemsize > 4:
         return False  # f64 is emulated on TPU; Mosaic rejects it
@@ -70,7 +73,10 @@ def available(shape, dtype=None) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def step_ab(op, x, r, p, rz, interpret=False):
-    """(x', r', pAp, rr) — the alpha half of a PCG iteration, fused."""
+    """(x', r', pAp, rr, sum_r) — the alpha half of a PCG iteration, fused.
+    ``op`` is either a StencilOp (padded here) or the pre-padded 5-tuple
+    from pad_operator (the loop-hoisted production form). sum_r = sum of
+    the updated residual, accumulated for free for step_c's projected dot."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -83,7 +89,10 @@ def step_ab(op, x, r, p, rz, interpret=False):
         return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
                            (0, M_pad - a.shape[1])))
 
-    args = ([pad(getattr(op, n)) for n in ("aC", "aL", "aR", "aB", "aT")]
+    coefs_pad = (op if isinstance(op, tuple)
+                 else tuple(pad(getattr(op, n))
+                            for n in ("aC", "aL", "aR", "aB", "aT")))
+    args = (list(coefs_pad)
             + [pad(x), pad(r), pad(p),
                jnp.reshape(rz.astype(dtype), (1, 1))])
     n_in = len(args)  # 9; ins[8] is the SMEM rz scalar
@@ -93,7 +102,7 @@ def step_ab(op, x, r, p, rz, interpret=False):
         outs = refs[n_in:n_in + 4]      # x', r', Ap bands, scalars (1,2)
         win = refs[n_in + 4:n_in + 4 + 6]      # six (W, M_pad) buffers
         buf = refs[n_in + 10:n_in + 12]        # two (B, M_pad) buffers
-        acc = refs[-3]                          # SMEM (2,): pAp, rr
+        acc = refs[-3]                          # SMEM (3,): pAp, rr, sum_r
         sem_in = refs[-2]
         sem_out = refs[-1]
 
@@ -105,6 +114,7 @@ def step_ab(op, x, r, p, rz, interpret=False):
         def _init():
             acc[0] = jnp.zeros((), dtype)
             acc[1] = jnp.zeros((), dtype)
+            acc[2] = jnp.zeros((), dtype)
 
         def load(src_idx, dst, sem_idx):
             cp = pltpu.make_async_copy(
@@ -149,6 +159,7 @@ def step_ab(op, x, r, p, rz, interpret=False):
             alpha = ins[8][0, 0] / jnp.where(pAp != 0.0, pAp, 1.0)
             r_new = rw - alpha * Ap
             acc[1] = acc[1] + jnp.sum(r_new * r_new)
+            acc[2] = acc[2] + jnp.sum(r_new)
             buf[0][:] = xw + alpha * pw
             buf[1][:] = r_new
             cpx = pltpu.make_async_copy(buf[0], outs[0].at[band],
@@ -164,6 +175,7 @@ def step_ab(op, x, r, p, rz, interpret=False):
             def _scalars():
                 outs[3][0, 0] = acc[0]
                 outs[3][0, 1] = acc[1]
+                outs[3][0, 2] = acc[2]
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -174,14 +186,14 @@ def step_ab(op, x, r, p, rz, interpret=False):
             jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
             jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
             jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
-            jax.ShapeDtypeStruct((1, 2), dtype),
+            jax.ShapeDtypeStruct((1, 3), dtype),
         ),
         in_specs=[hbm] * 8 + [smem],
         out_specs=(hbm, hbm, hbm, smem),
         scratch_shapes=(
             [pltpu.VMEM((W, M_pad), dtype) for _ in range(6)]
             + [pltpu.VMEM((B, M_pad), dtype) for _ in range(2)]
-            + [pltpu.SMEM((2,), dtype),
+            + [pltpu.SMEM((3,), dtype),
                pltpu.SemaphoreType.DMA((6,)),
                pltpu.SemaphoreType.DMA((3,))]
         ),
@@ -194,14 +206,16 @@ def step_ab(op, x, r, p, rz, interpret=False):
         return bands.reshape(n_bands * B, M_pad)[:N, :M]
 
     return (extract(res[0]), extract(res[1]),
-            res[3][0, 0].astype(rz.dtype), res[3][0, 1].astype(rz.dtype))
+            res[3][0, 0].astype(rz.dtype), res[3][0, 1].astype(rz.dtype),
+            res[3][0, 2].astype(rz.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("singular", "interpret"))
-def step_c(r, z_raw, p, rz_prev, singular, interpret=False):
+def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
     """(z, p', rz_new): z = z_raw - mean(z_raw) (if singular), rz_new =
     <r, z>, p' = z + (rz_new / rz_prev) p — fused. The projected dot uses
-    <r, z - m> = <r, z_raw> - m * sum(r); sum(r) comes in as a scalar."""
+    <r, z - m> = <r, z_raw> - m * sum(r); sum(r) comes from step_ab's
+    accumulator (or is reduced here as a fallback)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -215,7 +229,8 @@ def step_c(r, z_raw, p, rz_prev, singular, interpret=False):
         return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
                            (0, M_pad - a.shape[1])))
 
-    sum_r = jnp.sum(r) if singular else jnp.zeros((), r.dtype)
+    if sum_r is None:
+        sum_r = jnp.sum(r) if singular else jnp.zeros((), r.dtype)
     scalars_in = jnp.stack(
         [rz_prev.astype(dtype), sum_r.astype(dtype)]).reshape(1, 2)
     args = [pad(r), pad(z_raw), pad(p), scalars_in]

@@ -140,21 +140,8 @@ def build_tail_pack(levels, lvl) -> TailPack:
     return TailPack(coefs=tuple(coefs), planes=tuple(planes))
 
 
-def _sh(x, di, dj):
-    """x[i+di, j+dj], zero outside the canvas (roll + iota mask)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, m = x.shape
-    out = x
-    if di:
-        out = pltpu.roll(out, (-di) % n, 0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-        out = jnp.where((ii + di >= 0) & (ii + di < n), out, 0.0)
-    if dj:
-        out = pltpu.roll(out, (-dj) % m, 1)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        out = jnp.where((jj + dj >= 0) & (jj + dj < m), out, 0.0)
-    return out
+# zero-fill masked shift — single definition in pallas_vcycle
+from fluidsolver_tpu.poisson.pallas_vcycle import _shift_in as _sh  # noqa: E402
 
 
 def _make_kernel(n_levels, colors_pre, colors_post, coarse_pairs, cs, dtype):

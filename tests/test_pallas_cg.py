@@ -33,8 +33,10 @@ def _setup(nx, ny, seed=5):
 
 
 @pytest.mark.parametrize("shape", [(62, 62), (94, 40), (63, 41)])
-def test_step_ab(shape):
+@pytest.mark.parametrize("prepad", [False, True])
+def test_step_ab(shape, prepad):
     op, x, r, p, _ = _setup(*shape)
+    op_in = pc.pad_operator(op, x.shape) if prepad else op
     rz = jnp.asarray(1.37)
 
     Ap = apply_op(op, p)
@@ -44,7 +46,9 @@ def test_step_ab(shape):
     r_ref = r - alpha * Ap
     rr_ref = jnp.sum(r_ref * r_ref)
 
-    x2, r2, pAp, rr = pc.step_ab(op, x, r, p, rz, interpret=True)
+    x2, r2, pAp, rr, sum_r = pc.step_ab(op_in, x, r, p, rz, interpret=True)
+    np.testing.assert_allclose(float(sum_r), float(jnp.sum(r_ref)),
+                               rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(float(pAp), float(pAp_ref), rtol=1e-12)
     np.testing.assert_allclose(float(rr), float(rr_ref), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref), rtol=1e-12,

@@ -152,7 +152,7 @@ def test_full_fused_stack_pcg(monkeypatch):
     x_ref, res_ref, it_ref = solve()
 
     monkeypatch.setattr(boxmg, "_tr_fine_wanted", lambda: True)
-    monkeypatch.setattr(boxmg, "_rap_fused_ok", lambda shape: True)
+    monkeypatch.setattr(boxmg, "_rap_fused_ok", lambda *a: True)
     monkeypatch.setattr(boxmg, "_fused_ok",
                         lambda level, b: level.tr_fine is not None)
     monkeypatch.setattr(

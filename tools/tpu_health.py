@@ -32,6 +32,11 @@ def probe():
     import jax
     import jax.numpy as jnp
 
+    if jax.devices()[0].platform == "cpu":
+        # the axon plugin failed to register and JAX silently fell back to
+        # CPU: never report a "window" for the wrong device
+        raise RuntimeError("no TPU backend (CPU fallback)")
+
     x = jnp.ones((8, 8))
     float(jnp.sum(x))  # pay the first-transfer cost outside measurements
 
@@ -81,12 +86,16 @@ def probe():
         z = f(z, b)
     float(z[0, 0])
     t_batch = time.perf_counter() - t0
-    # Validity guard: device work must dominate the drain RTT, or the
-    # subtraction below is noise (one observed artifact: t_batch ≈ rtt
-    # yielded axpy=5e10 GB/s, which the >500 gate read as healthy).
-    if t_batch < 2.0 * rtt_ms * 1e-3:
+    # Validity guard: after removing one drain RTT, at least ~100 ms of
+    # device work must remain (healthy SoL is ~250 ms at K=1024), or the
+    # subtraction is noise (one observed artifact: t_batch ≈ rtt yielded
+    # axpy=5e10 GB/s, which the >500 gate read as healthy). An absolute
+    # floor — NOT a multiple of rtt — so high-rtt timeable windows (rtt
+    # 100-600 ms with the device at speed-of-light) still measure.
+    work = t_batch - rtt_ms * 1e-3
+    if work < 0.1:
         return rtt_ms, enqueue_ms, 0.0
-    per = max(t_batch - rtt_ms * 1e-3, 1e-9) / K
+    per = work / K
     gbs = 3 * 4096 * 4096 * 4 / per / 1e9
     if gbs > 1200.0:  # above v5e speed-of-light ⇒ measurement artifact
         return rtt_ms, enqueue_ms, 0.0

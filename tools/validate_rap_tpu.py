@@ -44,6 +44,7 @@ def main():
 
     failures = 0
     for shape in [(512, 512), (128, 96), (94, 17)]:
+        shape_fail0 = failures
         op = op5(*shape)
         tr_ref = jax.jit(boxmg.collapse_weights)(op)
         c_ref = jax.jit(
@@ -66,7 +67,8 @@ def main():
                 failures += 1
                 print(f"FAIL {shape} coarse {name}: "
                       f"max|d|={np.abs(a - b).max():.3e} scale={scale:.1e}")
-        print(f"numerics {shape}: {'ok' if failures == 0 else 'FAILED'}")
+        print(f"numerics {shape}: "
+              f"{'ok' if failures == shape_fail0 else 'FAILED'}")
 
     # timing: full hierarchy build, differenced batches, scalar drains
     op = op5(512, 512)
