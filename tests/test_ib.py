@@ -82,6 +82,37 @@ def test_mls_linear_reproduction():
     assert np.isclose(float(got), 2.0 * 0.4 - 3.0 * 0.6 + 0.5, atol=1e-10)
 
 
+def test_mls_point_eval_vs_bilinear_and_nn():
+    """Port of the MovingLeastSquaresIB experiment + test/ShapeFunction.cpp:
+    on a 32^2 staggered TGV field, the 5-point MLS sample matches bilinear
+    accuracy and both beat nearest-neighbor at an off-grid point
+    (examples/MovingLeastSquaresIB.cpp:193-260)."""
+    import math
+
+    from fluidsolver_tpu.core.grid import make_grid
+    from fluidsolver_tpu.ib.mls import eval_field_at_mls5, eval_field_at_nn
+    from fluidsolver_tpu.ops.stencil import sample_centered
+
+    g = make_grid(0.0, 2 * math.pi, 32, 0.0, 2 * math.pi, 32)
+    Xu, Yu = np.meshgrid(g.x, g.ym, indexing="ij")
+    U = jnp.asarray(np.sin(Xu) * np.cos(Yu))
+    px, py = jnp.asarray(3.0), jnp.asarray(4.0)
+    ua = math.sin(3.0) * math.cos(4.0)
+
+    e_bil = abs(float(sample_centered(U, g.x[1], g.dx, g.ym[1], g.dy, px, py)) - ua)
+    e_nn = abs(float(eval_field_at_nn(U, g.x[1], g.dx, g.ym[1], g.dy, px, py)) - ua)
+    e_mls = abs(float(eval_field_at_mls5(U, g.x[1], g.dx, g.ym[1], g.dy, px, py)) - ua)
+    assert e_mls < 2.0 * max(e_bil, 1e-12) and e_mls < 1e-2, (e_mls, e_bil)
+    assert e_nn > e_mls and e_nn > e_bil, (e_nn, e_mls, e_bil)
+
+    # at an exact node NN reproduces the sample; MLS is a least-squares fit
+    # (no Kronecker-delta property) so only require O(h^2) closeness there
+    pn = (jnp.asarray(float(g.x[5])), jnp.asarray(float(g.ym[7])))
+    un = float(U[5, 7])
+    assert abs(float(eval_field_at_nn(U, g.x[1], g.dx, g.ym[1], g.dy, *pn)) - un) < 1e-12
+    assert abs(float(eval_field_at_mls5(U, g.x[1], g.dx, g.ym[1], g.dy, *pn)) - un) < g.dx**2
+
+
 def test_markers_mechanics():
     from fluidsolver_tpu.ib import markers as mk
     from fluidsolver_tpu.core.grid import make_grid
