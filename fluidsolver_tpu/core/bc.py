@@ -115,6 +115,17 @@ def apply_velocity_bcs(U: jnp.ndarray, V: jnp.ndarray, grid: Grid, bcs: FlowBCs,
     elif isinstance(b, Periodic):
         U = row_set(U, nx + 2, U[2, :])
         V = row_set(V, nx + 1, V[1, :])
+        if isinstance(bcs.left, Periodic):
+            # Reconcile the two images of the shared periodic face (logical
+            # faces 0 and nx are the SAME physical face). The reference keeps
+            # both and lets them drift apart — the pressure ghost closure is
+            # not periodic, so the boundary-face momentum updates differ and
+            # sum(div) over the interior stops telescoping to zero, which
+            # reappears as a uniform divergence offset after projection (see
+            # linsys.build_pressure_rhs). Averaging is symmetric and exact
+            # whenever the field is truly periodic.
+            shared = 0.5 * (U[1, :] + U[nx + 1, :])
+            U = row_set(row_set(U, 1, shared), nx + 1, shared)
     elif isinstance(b, Symmetry):
         U = row_set(row_set(U, nx + 2, -U[nx, :]), nx + 1, 0.0)
         V = row_set(V, nx + 1, V[nx, :])
@@ -151,6 +162,10 @@ def apply_velocity_bcs(U: jnp.ndarray, V: jnp.ndarray, grid: Grid, bcs: FlowBCs,
     elif isinstance(b, Periodic):
         U = U.at[:, ny + 1].set(U[:, 1])
         V = V.at[:, ny + 2].set(V[:, 2])
+        if isinstance(bcs.bottom, Periodic):
+            # shared-face reconciliation; see the right/left Periodic branch
+            shared = 0.5 * (V[:, 1] + V[:, ny + 1])
+            V = V.at[:, 1].set(shared).at[:, ny + 1].set(shared)
     elif isinstance(b, Symmetry):
         U = U.at[:, ny + 1].set(U[:, ny])
         V = V.at[:, ny + 2].set(-V[:, ny]).at[:, ny + 1].set(0.0)

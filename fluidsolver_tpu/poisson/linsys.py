@@ -108,10 +108,15 @@ def assemble_pressure_operator(
 
 
 def build_pressure_rhs(
-    div: jnp.ndarray, dx: float, dy: float, dt, pin: Optional[str] = PIN_NONE
+    div: jnp.ndarray, dx: float, dy: float, dt, pin: Optional[str] = PIN_NONE,
+    periodic_x: bool = False, periodic_y: bool = False,
 ) -> jnp.ndarray:
     """rhs = -vol * div / dt over the box; pinned edge zeroed, or (singular
-    case) the mean subtracted (src/LinearSystem.hpp:125-155)."""
+    case) the mean subtracted (src/LinearSystem.hpp:125-155).
+
+    ``periodic_x``/``periodic_y``: the velocity BCs of that axis are
+    Periodic. Ghost rhs entries on those edges are zeroed before the mean
+    subtraction (see the singular branch)."""
     vol = dx * dy
     rhs = -vol * div / dt
     if pin == PIN_LEFT:
@@ -123,7 +128,36 @@ def build_pressure_rhs(
     elif pin == PIN_TOP:
         rhs = rhs.at[:, -1].set(0.0)
     elif pin is PIN_NONE:
-        rhs = rhs - jnp.mean(rhs)
+        # Mean subtraction makes the singular all-Neumann system compatible
+        # (sum(b) = 0). Whatever mean is absorbed here reappears verbatim as
+        # a UNIFORM divergence offset on the projected velocity, because the
+        # operator's nullspace is the constant vector. Two regimes:
+        #   - inflow/outflow (non-periodic) edges: the ghost rhs entries are
+        #     FUNCTIONAL — the outflow mass correction operates on the ghost
+        #     faces (calc_inflow_outflow, examples/DiffuseIB.cpp:100-110),
+        #     so the ghost-cell equations are where the star-flux imbalance
+        #     is parked and pushed out through the boundary faces. Keep the
+        #     reference's full-box treatment (src/LinearSystem.hpp:148-152).
+        #   - periodic edges: the ghost cells are topologically redundant
+        #     and their divergence entries are wrap copies that DON'T cancel,
+        #     so the reference leaks their mean into a uniform ~1e-3
+        #     post-projection divergence (measured, 32^2 TGV). Zero those
+        #     ghost entries; the interior sum telescopes to ~0 (with the
+        #     shared-face reconciliation in bc.apply_velocity_bcs) and the
+        #     projection reaches the CG-residual level (~1e-9). Deviation
+        #     documented in PARITY.md.
+        if periodic_x:
+            rhs = row_set(row_set(rhs, 0, 0.0), -1, 0.0)
+        if periodic_y:
+            rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        nx2, ny2 = rhs.shape
+        n_support = (nx2 - 2 * periodic_x) * (ny2 - 2 * periodic_y)
+        c = jnp.sum(rhs) / n_support
+        rhs = rhs - c
+        if periodic_x:
+            rhs = row_set(row_set(rhs, 0, 0.0), -1, 0.0)
+        if periodic_y:
+            rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
     else:
         raise ValueError(f"unknown pin side: {pin}")
     return rhs

@@ -36,7 +36,16 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
     op = linsys.assemble_pressure_operator(
         state.rho_u, state.rho_v, grid.dx, grid.dy, cfg.pressure_pin
     )
-    rhs = linsys.build_pressure_rhs(div, grid.dx, grid.dy, dt, cfg.pressure_pin)
+    per_x = isinstance(cfg.bcs.left, bc_mod.Periodic) and isinstance(
+        cfg.bcs.right, bc_mod.Periodic
+    )
+    per_y = isinstance(cfg.bcs.bottom, bc_mod.Periodic) and isinstance(
+        cfg.bcs.top, bc_mod.Periodic
+    )
+    rhs = linsys.build_pressure_rhs(
+        div, grid.dx, grid.dy, dt, cfg.pressure_pin,
+        periodic_x=per_x, periodic_y=per_y,
+    )
     singular = cfg.pressure_pin is None
     if cfg.pressure_solver == "direct":
         from fluidsolver_tpu.poisson.direct import solve_direct

@@ -75,3 +75,49 @@ def test_taylor_green_vortex():
     assert l1_u < tol, f"L1(U) = {l1_u:.3e} > {tol:.3e}"
     assert l1_v < tol, f"L1(V) = {l1_v:.3e} > {tol:.3e}"
     assert abs(float(state.t) - T_END) < 1e-12
+
+
+def test_projection_divergence_at_residual_level():
+    """Regression for two compounding artifacts the reference carries
+    (beyond-reference fix, documented in PARITY.md):
+
+    1. the all-Neumann rhs mean subtraction over the ghost-inclusive box
+       absorbed the (garbage) ghost divergence entries, and the operator's
+       constant nullspace returned that mean verbatim as a UNIFORM
+       post-projection divergence (~1.5e-3 here);
+    2. the two images of the shared periodic face drift apart once the
+       non-periodic ghost-pressure closure feeds the boundary momentum,
+       breaking the telescoping sum(div)=0 from the second subiteration on.
+
+    With interior-mean rhs subtraction (linsys.build_pressure_rhs) and
+    shared-face reconciliation (bc.apply_velocity_bcs), the projected
+    velocity's interior divergence must sit at the CG-residual level."""
+    n = 32
+    g = make_grid(0.0, 2.0 * np.pi, n, 0.0, 2.0 * np.pi, n)
+    per = bc.Periodic()
+    cfg = SolverConfig(
+        rho_gas=RHO, rho_liquid=RHO, visc_gas=VISC, visc_liquid=VISC,
+        cfl_max=0.5, dt_max=1e-2, num_subiter=2,
+        pressure_tol=1e-6, pressure_max_iter=500,
+        bcs=bc.FlowBCs(per, per, per, per),
+    )
+    state = init_flow_state(g, RHO, VISC)
+    X, Y = np.meshgrid(g.x, g.ym, indexing="ij")
+    Xv, Yv = np.meshgrid(g.xm, g.y, indexing="ij")
+    state = dataclasses.replace(
+        state,
+        U=jnp.asarray(u_exact(X, Y, 0.0)),
+        V=jnp.asarray(v_exact(Xv, Yv, 0.0)),
+    )
+    U, V = bc.apply_velocity_bcs(state.U, state.V, g, cfg.bcs)
+    state = dataclasses.replace(state, U=U, V=V)
+
+    from fluidsolver_tpu.ops import stencil
+
+    step = incomp.make_step(g, cfg)
+    for _ in range(3):
+        state = step(state, 100.0)
+        div = np.asarray(
+            stencil.divergence(state.U, state.V, g.dx, g.dy)
+        )[1:-1, 1:-1]
+        assert np.abs(div).max() < 1e-7, np.abs(div).max()
