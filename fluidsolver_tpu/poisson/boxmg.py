@@ -427,9 +427,16 @@ def _dense_coarse_inverse(op) -> jnp.ndarray:
     to live rows (v = live indicator, c = mean |diag|): symmetric positive
     definite either way, and the shift direction's solution component is
     discarded downstream (cg.solve_pcg projects the preconditioned residual
-    in the singular case). For nonsingular pinned operators the rank-one
-    perturbation merely makes the coarse solve ~99% exact — irrelevant for
-    a preconditioner.
+    in the singular case).
+
+    The shift is applied ONLY when the operator actually carries the
+    constant nullspace (live row sums ~ 0 — Galerkin coarsening preserves
+    this property level to level). Deflating a NONSINGULAR pinned operator
+    would overwrite its tiny quasi-constant eigenvalue with ``c``: PCG
+    shrugs that off in one extra iteration, but the stationary MG solver
+    (krylov.solve_mg, the SMG/PFMG-standalone analog) then stalls at a
+    0.999 contraction rate in that one mode — measured as a hard stall at
+    rel ~ 1e-1 on pinned jump systems.
 
     Low-precision hierarchies (FS_PRECOND_DTYPE=bfloat16) assemble and
     invert in f32: linalg.inv has no bf16 kernel (LAPACK raises on CPU) and
@@ -457,7 +464,12 @@ def _dense_coarse_inverse(op) -> jnp.ndarray:
     v = live.astype(dtype)
     n_live = jnp.maximum(jnp.sum(v), 1.0)
     shift = jnp.sum(jnp.abs(diag)) / n_live
-    A = A + (shift / n_live) * jnp.outer(v, v)
+    # deflate only a genuinely singular (all-Neumann) operator: zero live
+    # row sums <=> constant in the nullspace (see docstring)
+    rowsum_defect = jnp.max(jnp.abs(jnp.where(live, A @ v, 0.0)))
+    eps = jnp.finfo(dtype).eps
+    singularish = rowsum_defect < jnp.sqrt(eps) * shift
+    A = A + jnp.where(singularish, shift / n_live, 0.0) * jnp.outer(v, v)
     inv = jnp.linalg.inv(A)
     return 0.5 * (inv + inv.T)
 

@@ -62,6 +62,51 @@ def build_precond_levels(op: StencilOp, precond: str, precond_dtype=None):
     return jax.jit(mg_impl.build_hierarchy)(op)
 
 
+def make_m_inv(op: StencilOp, b_dtype, precond: str, levels=None,
+               n_pre: int = 1, n_post: int = 1, precond_dtype=None):
+    """Build the preconditioner application ``M_inv: r -> z`` (in ``b_dtype``)
+    for ``precond`` in {"mg", "boxmg", "jacobi", "none"}. Returns
+    ``(M_inv, levels)`` so callers can reuse a hoisted hierarchy. Shared by
+    PCG (this module) and the BiCGSTAB/GMRES/MG-only solvers
+    (poisson/krylov.py)."""
+    if precond in ("mg", "boxmg"):
+        if precond == "boxmg":
+            from fluidsolver_tpu.poisson import boxmg as mg_impl
+        else:
+            mg_impl = mg_mod
+        if levels is None:
+            levels = build_precond_levels(op, precond, precond_dtype)
+        lvl_dtype = levels[0].op.aC.dtype
+
+        if lvl_dtype != b_dtype:
+            def M_inv(r):
+                z = mg_impl.v_cycle(
+                    levels, r.astype(lvl_dtype), n_pre=n_pre, n_post=n_post
+                )
+                # low-precision cycles can emit non-finite values on extreme
+                # operators (bf16 rounding can make a near-singular coarse
+                # row blow up); a NaN direction would poison x permanently
+                # while the NaN relative residual FALSELY exits the loop
+                # (NaN > tol is False). Sanitize: a zeroed direction merely
+                # wastes the iteration and the stagnation guard stays honest.
+                return jnp.nan_to_num(z.astype(r.dtype),
+                                      nan=0.0, posinf=0.0, neginf=0.0)
+        else:
+            def M_inv(r):
+                return mg_impl.v_cycle(levels, r, n_pre=n_pre, n_post=n_post)
+    elif precond == "jacobi":
+        aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
+
+        def M_inv(r):
+            return r / aC_safe
+    elif precond == "none":
+        def M_inv(r):
+            return r
+    else:
+        raise ValueError(f"unknown preconditioner: {precond}")
+    return M_inv, levels
+
+
 def solve_pcg(
     op: StencilOp,
     b: jnp.ndarray,
@@ -95,41 +140,9 @@ def solve_pcg(
     preconditioner stays a fixed deterministic SPD-to-rounding map, which PCG
     tolerates (bf16 keeps the f32 exponent, so only mantissa is lost).
     """
-    if precond in ("mg", "boxmg"):
-        if precond == "boxmg":
-            from fluidsolver_tpu.poisson import boxmg as mg_impl
-        else:
-            mg_impl = mg_mod
-        if levels is None:
-            levels = build_precond_levels(op, precond, precond_dtype)
-        lvl_dtype = levels[0].op.aC.dtype
-
-        if lvl_dtype != b.dtype:
-            def M_inv(r):
-                z = mg_impl.v_cycle(
-                    levels, r.astype(lvl_dtype), n_pre=n_pre, n_post=n_post
-                )
-                # low-precision cycles can emit non-finite values on extreme
-                # operators (bf16 rounding can make a near-singular coarse
-                # row blow up); a NaN direction would poison x permanently
-                # while the NaN relative residual FALSELY exits the loop
-                # (NaN > tol is False). Sanitize: a zeroed direction merely
-                # wastes the iteration and the stagnation guard stays honest.
-                return jnp.nan_to_num(z.astype(r.dtype),
-                                      nan=0.0, posinf=0.0, neginf=0.0)
-        else:
-            def M_inv(r):
-                return mg_impl.v_cycle(levels, r, n_pre=n_pre, n_post=n_post)
-    elif precond == "jacobi":
-        aC_safe = jnp.where(op.aC == 0.0, 1.0, op.aC)
-
-        def M_inv(r):
-            return r / aC_safe
-    elif precond == "none":
-        def M_inv(r):
-            return r
-    else:
-        raise ValueError(f"unknown preconditioner: {precond}")
+    M_inv, levels = make_m_inv(op, b.dtype, precond, levels=levels,
+                               n_pre=n_pre, n_post=n_post,
+                               precond_dtype=precond_dtype)
 
     def project(v):
         if singular:

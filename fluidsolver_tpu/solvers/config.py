@@ -39,6 +39,17 @@ class SolverConfig:
     # analog), "jacobi" (diag-precond CG, the Accelerate-backend analog,
     # src/LinearSolver_Accelerate.hpp), "none", or "direct" (dense, small grids)
     pressure_solver: str = "boxmg"
+    # Krylov/outer method wrapped around ``pressure_solver``'s preconditioner,
+    # mirroring the reference's HypreSolver enum {GMRES, PCG, BiCGSTAB, SMG,
+    # PFMG} x HyprePrecond {SMG, PFMG, NONE} (src/HYPREUtility.hpp:35-36):
+    # "pcg" (default, poisson/cg.py), "bicgstab", "gmres" (restarted,
+    # right-preconditioned), or "mgsolve" (the V-cycle iterated AS the
+    # solver — the SMG/PFMG-standalone analog; requires pressure_solver in
+    # {"mg", "boxmg"}). All in poisson/krylov.py.
+    pressure_method: str = "pcg"
+    # Krylov subspace dimension per GMRES restart cycle
+    # (HYPRE_StructGMRESSetKDim analog)
+    pressure_gmres_restart: int = 20
     mg_pre: int = 2
     mg_post: int = 2
     # warm-start each subiteration's pressure solve from the previous

@@ -58,19 +58,53 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
             jnp.dtype(cfg.pressure_precond_dtype)
             if cfg.pressure_precond_dtype is not None else None
         )
-        delta_p, rel, iters = cg.solve_pcg(
-            op,
-            rhs,
-            tol=cfg.pressure_tol,
-            max_iter=cfg.pressure_max_iter,
-            singular=singular,
-            precond=cfg.pressure_solver,
-            n_pre=cfg.mg_pre,
-            n_post=cfg.mg_post,
-            precond_dtype=precond_dtype,
-            x0=x0,
-            levels=levels,
-        )
+        if cfg.pressure_method == "pcg":
+            delta_p, rel, iters = cg.solve_pcg(
+                op,
+                rhs,
+                tol=cfg.pressure_tol,
+                max_iter=cfg.pressure_max_iter,
+                singular=singular,
+                precond=cfg.pressure_solver,
+                n_pre=cfg.mg_pre,
+                n_post=cfg.mg_post,
+                precond_dtype=precond_dtype,
+                x0=x0,
+                levels=levels,
+            )
+        else:
+            # reference solver-enum parity (GMRES/BiCGSTAB/SMG-or-PFMG-as-
+            # solver, src/HYPREUtility.hpp:35-36) — see poisson/krylov.py
+            from fluidsolver_tpu.poisson import krylov
+
+            if cfg.pressure_method == "mgsolve" and cfg.pressure_solver not in (
+                "mg", "boxmg"
+            ):
+                raise ValueError(
+                    "pressure_method='mgsolve' needs pressure_solver in "
+                    "{'mg','boxmg'} (the V-cycle IS the solver)"
+                )
+            M_inv, _ = cg.make_m_inv(
+                op, rhs.dtype, cfg.pressure_solver, levels=levels,
+                n_pre=cfg.mg_pre, n_post=cfg.mg_post,
+                precond_dtype=precond_dtype,
+            )
+            common = dict(
+                tol=cfg.pressure_tol, max_iter=cfg.pressure_max_iter,
+                singular=singular, M_inv=M_inv, x0=x0,
+            )
+            if cfg.pressure_method == "bicgstab":
+                delta_p, rel, iters = krylov.solve_bicgstab(op, rhs, **common)
+            elif cfg.pressure_method == "gmres":
+                delta_p, rel, iters = krylov.solve_gmres(
+                    op, rhs, restart=cfg.pressure_gmres_restart, **common
+                )
+            elif cfg.pressure_method == "mgsolve":
+                delta_p, rel, iters = krylov.solve_mg(op, rhs, **common)
+            else:
+                raise ValueError(
+                    f"unknown pressure_method: {cfg.pressure_method!r}"
+                )
     delta_p = stencil.shift_pressure_to_zero(delta_p, grid.dx, grid.dy)
     return delta_p, rel, iters
 
