@@ -34,6 +34,10 @@ class Case:
     two_phase: bool = False
     # builds precomputed IB fields for cfg.ib_mode (called once per grid)
     ib_builder: Optional[Callable] = None
+    # custom step factory (grid, cfg) -> step(state, t_end); used by
+    # kinematic cases (e.g. VOF-only advection with prescribed velocity,
+    # examples/VOF.cpp) that bypass the momentum/pressure solvers
+    step_builder: Optional[Callable] = None
     meta: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def make_state(self, dtype=None):
@@ -70,6 +74,8 @@ class Case:
     def make_step(self):
         from fluidsolver_tpu.solvers import incomp, twophase
 
+        if self.step_builder is not None:
+            return self.step_builder(self.grid, self.cfg)
         if self.two_phase:
             return twophase.make_step(self.grid, self.cfg)
         ib = self.ib_builder(self.grid) if self.ib_builder is not None else None
@@ -276,6 +282,52 @@ def two_phase_channel(ny: int = 128) -> Case:
     )
     return Case("two_phase_channel", g, cfg, t_end=2.0, dt_write=1e-2,
                 vf0=vf0, two_phase=True, meta=meta)
+
+
+@register("vof_tgv")
+def vof_tgv(n: int = 256, visc: float = 1e-3, rho: float = 0.9) -> Case:
+    """Kinematic VOF demo: four circles advected through the analytic
+    decaying Taylor-Green field, velocity re-prescribed each step — no
+    momentum/pressure solve (examples/VOF.cpp:40-120)."""
+    import jax.numpy as jnp
+
+    from fluidsolver_tpu.solvers import twophase
+
+    g = make_grid(0.0, 2 * math.pi, n, 0.0, 2 * math.pi, n)
+    per = bc.Periodic()
+    cfg = SolverConfig(
+        rho_gas=rho, rho_liquid=rho, visc_gas=visc, visc_liquid=visc,
+        cfl_max=0.5, dt_max=1e-2,
+        bcs=bc.FlowBCs(per, per, per, per),
+    )
+
+    centers = [
+        (0.75 * math.pi, 0.5 * math.pi), (1.75 * math.pi, 0.5 * math.pi),
+        (0.75 * math.pi, 1.5 * math.pi), (1.75 * math.pi, 1.5 * math.pi),
+    ]
+
+    def vf0(x, y):
+        inside = False
+        for cx, cy in centers:
+            inside = inside | ((x - cx) ** 2 + (y - cy) ** 2 <= 0.25**2)
+        return inside
+
+    # separable TGV field: close over 1D coordinate vectors only (2D
+    # closure captures are re-uploaded per dispatch on the tunneled backend)
+    sin_x, cos_x = np.sin(g.x), np.cos(g.xm)
+    cos_ym, sin_y = np.cos(g.ym), np.sin(g.y)
+
+    def velocity(t):
+        F = jnp.exp(-2.0 * visc / rho * t)
+        U = jnp.outer(sin_x, cos_ym) * F
+        V = -jnp.outer(cos_x, sin_y) * F
+        return U, V
+
+    def step_builder(grid, cfg):
+        return twophase.make_kinematic_step(grid, cfg, velocity)
+
+    return Case("vof_tgv", g, cfg, t_end=30.0, dt_write=5e-2,
+                vf0=vf0, two_phase=True, step_builder=step_builder)
 
 
 @register("stationary_drop")

@@ -314,6 +314,50 @@ def make_step(grid: Grid, cfg: SolverConfig):
     return step
 
 
+def make_kinematic_step(grid: Grid, cfg: SolverConfig, velocity):
+    """VOF-only kinematic step: the velocity is PRESCRIBED analytically each
+    step and only the interface is evolved (reconstruct -> advect), skipping
+    momentum and pressure entirely — the reference's examples/VOF.cpp:80-120
+    and the kinematic tests (test/{ConstantVelocityVOF,LinearVelocityVOF,
+    TaylorGreenVortexVOF}.cpp) share this loop shape.
+
+    ``velocity(t) -> (U, V)``: full ghost-inclusive staggered fields at time
+    ``t`` (closing over the 1D grid coordinate vectors is fine — only O(n)
+    data, re-uploaded cheaply per dispatch)."""
+
+    @jax.jit
+    def step(state: TwoPhaseState, t_end) -> TwoPhaseState:
+        fs = state.flow
+        U, V = velocity(fs.t)
+        U = U.astype(fs.U.dtype)
+        V = V.astype(fs.V.dtype)
+        dt = mom.adjust_dt(
+            U, V, fs.rho_u, fs.rho_v, fs.visc, grid.dx, grid.dy,
+            cfg.rho_gas, cfg.rho_liquid, cfg.sigma, cfg.cfl_max, cfg.dt_max,
+        )
+        dt = jnp.minimum(dt, t_end - fs.t)
+
+        vf_old = state.vf
+        rec = plic.elvira(vf_old, grid.dx, grid.dy, max_mixed=cfg.vof_max_active)
+        Ui = stencil.interp_u_center(U)
+        Vi = stencil.interp_v_center(V)
+        vf, vol_err = adv.advect(
+            vf_old, rec, U, V, Ui, Vi, grid, dt, max_active=cfg.vof_max_active
+        )
+        vol_err = jnp.where(rec.overflow, jnp.inf, vol_err)
+        iface_len = plic.interface_length(rec, grid.dx, grid.dy)
+
+        fs = dataclasses.replace(
+            fs, U=U, V=V, U_old=fs.U, V_old=fs.V, t=fs.t + dt, dt=dt
+        )
+        return dataclasses.replace(
+            state, flow=fs, vf=vf, vf_old=vf_old,
+            interface_length=iface_len, vof_vol_error=vol_err,
+        )
+
+    return step
+
+
 def run(state: TwoPhaseState, t_end: float, grid: Grid, cfg: SolverConfig,
         callback=None, max_steps: int = 1_000_000) -> TwoPhaseState:
     step = make_step(grid, cfg)

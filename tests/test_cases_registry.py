@@ -30,6 +30,7 @@ SMALL = {
     "stationary_drop": dict(n=16),
     "taylor_green": dict(n=16),
     "two_phase_channel": dict(ny=12),
+    "vof_tgv": dict(n=32),
     "wall_bubble": dict(ny=12),
     "wave": dict(ny=12),
 }
