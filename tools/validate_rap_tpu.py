@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     os.environ.setdefault("FS_PALLAS_RAP", "0")  # gate handled manually
@@ -35,11 +37,23 @@ def main():
     rng = np.random.default_rng(0)
 
     def op5(n, m):
-        k = 1.0 + 999.0 * (rng.random((n, m)) > 0.5)
-        aL = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
-        aR = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
-        aB = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
-        aT = -jnp.asarray((rng.random((n, m)) * k + 0.1), jnp.float32)
+        # SYMMETRIC face-based operator (shared face => aR(i,j)=aL(i+1,j)),
+        # random 1000:1 jump coefficients — the structure of the real
+        # variable-rho pressure operator. A fully-random nonsymmetric
+        # stencil is useless downstream: PCG assumes SPD and the tail's
+        # in-kernel coarse sweeps (replacing the dense inverse) are only
+        # convergent on M-matrix-like operators.
+        kx = rng.random((n + 1, m)) * (1.0 + 999.0 * (rng.random((n + 1, m)) > 0.5)) + 0.1
+        ky = rng.random((n, m + 1)) * (1.0 + 999.0 * (rng.random((n, m + 1)) > 0.5)) + 0.1
+        aL = -jnp.asarray(kx[:-1, :], jnp.float32)
+        aR = -jnp.asarray(kx[1:, :], jnp.float32)
+        aB = -jnp.asarray(ky[:, :-1], jnp.float32)
+        aT = -jnp.asarray(ky[:, 1:], jnp.float32)
+        # homogeneous-Neumann closure at the box edges (no coupling out)
+        aL = aL.at[0, :].set(0.0)
+        aR = aR.at[-1, :].set(0.0)
+        aB = aB.at[:, 0].set(0.0)
+        aT = aT.at[:, -1].set(0.0)
         return StencilOp(aC=-(aL + aR + aB + aT), aL=aL, aR=aR, aB=aB, aT=aT)
 
     failures = 0
@@ -103,26 +117,61 @@ def main():
     op = op5(512, 512)
     b = jnp.asarray(rng.normal(size=op.aC.shape).astype(np.float32))
 
-    def cycle_fn(flag):
+    def cycle_fn(flag, tail="1"):
         os.environ["FS_PALLAS_VCYCLE"] = flag
         os.environ["FS_PALLAS_RAP"] = "0"
+        os.environ["FS_PALLAS_TAIL"] = tail
         import fluidsolver_tpu.poisson.boxmg as bm
 
         bm._USE_PALLAS_VC = flag == "1"  # read at import; flip directly
         return jax.jit(lambda o, r: bm.v_cycle(bm.build_hierarchy(o), r))
 
+    # (A) exactness: WITHOUT the coarse tail both paths run the identical
+    # cycle (fused smoother + in-kernel transfers are algebraically the
+    # same sweeps); they must agree to f32 FMA reassociation noise.
     x_ref = np.asarray(cycle_fn("0")(op, b))
-    x_fused = np.asarray(cycle_fn("1")(op, b))
-    # the tail swaps the exact coarse solve for sweeps: compare cycles as
-    # preconditioner actions (directionally identical, small abs deviation)
+    x_nt = np.asarray(cycle_fn("1", tail="0")(op, b))
     denom = max(np.abs(x_ref).max(), 1e-30)
+    dev_nt = np.abs(x_nt - x_ref).max() / denom
+    print(f"fused v_cycle(no tail) 512^2: rel_dev={dev_nt:.3e}")
+    if not (dev_nt < 1e-4):
+        failures += 1
+        print("FAIL: fused no-tail v_cycle is not the XLA cycle")
+
+    # (B) quality: WITH the tail the coarsest level runs in-kernel sweeps
+    # instead of the dense inverse — an intentional approximation. Judge it
+    # the only way that matters: as a PCG preconditioner, iteration count
+    # to fixed tolerance must be within ~25% of the base cycle.
+    x_fused = np.asarray(cycle_fn("1")(op, b))
     dev = np.abs(x_fused - x_ref).max() / denom
     cos = float(np.sum(x_fused * x_ref)
                 / (np.linalg.norm(x_fused) * np.linalg.norm(x_ref) + 1e-30))
-    print(f"fused v_cycle 512^2: rel_dev={dev:.3e} cosine={cos:.6f}")
-    if not (cos > 0.999):
+    print(f"fused v_cycle(tail) 512^2: rel_dev={dev:.3e} cosine={cos:.6f}"
+          " (approximation by design; gated by PCG parity below)")
+
+    from fluidsolver_tpu.poisson import cg as _cg
+
+    def pcg_iters(flag):
+        os.environ["FS_PALLAS_VCYCLE"] = flag
+        os.environ["FS_PALLAS_CG"] = "0"
+        import fluidsolver_tpu.poisson.boxmg as bm
+
+        bm._USE_PALLAS_VC = flag == "1"
+        fn = jax.jit(lambda o, r: _cg.solve_pcg(
+            o, r, tol=1e-5, max_iter=100, singular=True, precond="boxmg"))
+        _, res, it = fn(op, b - jnp.mean(b))
+        return float(res), int(it)
+
+    res_b, it_b = pcg_iters("0")
+    res_f, it_f = pcg_iters("1")
+    print(f"PCG w/ precond 512^2: base {it_b}it res={res_b:.2e}  "
+          f"fused-tail {it_f}it res={res_f:.2e}")
+    if not (it_f <= max(it_b * 1.25, it_b + 3) and res_f < 10 * max(res_b, 1e-5)):
         failures += 1
-        print("FAIL: fused v_cycle diverges from XLA cycle")
+        print("FAIL: tail cycle degrades PCG convergence")
+    if not (cos > 0.999):
+        print("note: tail-cycle cosine below 0.999 — acceptable iff PCG "
+              "parity above holds")
 
     def time_cycle(flag):
         fn = cycle_fn(flag)
@@ -169,9 +218,12 @@ def main():
         float(jnp.max(jnp.abs(x0_))), 1e-30)
     print(f"fused-cg solve 512^2: base res={res0:.2e}/{it0}it "
           f"fused res={res1:.2e}/{it1}it  rel_dx={dx:.2e}")
-    if not (res1 < 1e-3 and it1 <= it0 + 5):
+    # parity with the base PCG (same trajectory to f32 noise), NOT an
+    # absolute residual bar: the random-jump stress operator converges
+    # slower than any physical pressure operator and that is fine here.
+    if not (res1 < 10 * max(res0, 1e-6) and it1 <= it0 + 5 and dx < 1e-2):
         failures += 1
-        print("FAIL: fused-cg solve quality")
+        print("FAIL: fused-cg diverges from base PCG")
     return 1 if failures else 0
 
 
