@@ -1,9 +1,19 @@
 """Headline benchmark: full two-phase 1024^2 step time on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline (BASELINE.md): the driver-imposed north star is a full two-phase
 1024^2 step (momentum + Poisson + VOF) in < 10 ms on a v5e chip, so
 vs_baseline = 10 ms / measured (>1 is better than target).
+
+Measurement design (the axon TPU sits behind a tunnel — see CLAUDE.md):
+- K steps run as ONE dispatch via ``twophase.make_scan_runner`` (lax.scan),
+  so per-step host dispatch overhead — the dominant cost in degraded
+  tunnel windows — does not contaminate the step time.
+- Timing differences a 1-dispatch batch against a 2-dispatch batch (one
+  device->host scalar drain each), so the fixed drain/RTT cost cancels.
+- The headline is gated on tools/tpu_health.py: degraded windows (sick
+  HBM/dispatch) are waited out, and the health line of the window that
+  produced the number is recorded in the JSON as "window".
 """
 
 from __future__ import annotations
@@ -51,41 +61,36 @@ def _run(warmup: int, n: int):
         lambda x, y: (x - 0.3) ** 2 + (y - 0.5) ** 2 <= 0.1**2, g
     )
     state = twophase.init_two_phase_state(g, cfg, vf0, dtype=jnp.float32)
-    step = twophase.make_step(g, cfg)
 
-    # compile + develop the flow. Chunked REAL drains (scalar reads) keep
-    # the tunneled TPU stable: block_until_ready does not pace (it acks the
-    # dispatch, not completion) and an unpaced multi-step queue crashes the
-    # axon worker with UNAVAILABLE.
-    for k in range(warmup):
-        state = step(state, 1e9)
-        if k % 2 == 1:
-            float(state.flow.dt)
-    # real completion barrier + first-transfer warmup: block_until_ready can
-    # return BEFORE the device finishes on the axon tunnel (it acks the
-    # dispatch); only a device->host read is a true barrier, and the first
-    # one in a process is sporadically minutes-slow — pay it here, not in
-    # the timed region.
-    float(state.flow.dt)
+    # K steps per dispatch: host dispatch/RTT overhead is paid once per
+    # BATCH instead of once per step (VERDICT r1: production runs this way
+    # anyway). A scan is one XLA program, so the tunnel never sees an
+    # unpaced multi-dispatch queue (which crashes the axon worker).
+    runner = twophase.make_scan_runner(g, cfg, STEPS)
 
-    # Latency-immune timing: the tunneled TPU's host<->device round trip
-    # degrades sporadically from ~1 ms to >100 ms, which would swamp a
-    # single timed batch. Time a K-step batch and a 2K-step batch (one
-    # drain each) and difference them — the fixed dispatch/drain cost
-    # cancels, leaving the marginal on-device step time. Median over 3
-    # rounds. The drain is a scalar device->host read, NOT
-    # block_until_ready (see above).
-    def timed_batch(state, k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            state = step(state, 1e9)
+    # compile + develop the flow. The drain is a REAL device->host scalar
+    # read: block_until_ready can return after the dispatch ack on this
+    # tunnel, and the first D2H in a process is sporadically minutes-slow —
+    # pay both here, outside the timed region.
+    n_warm_batches = max(1, (warmup + STEPS - 1) // STEPS)
+    for _ in range(n_warm_batches):
+        state = runner(state, 1e9)
         float(state.flow.dt)
+
+    def timed_batch(state, n_dispatches):
+        t0 = time.perf_counter()
+        for _ in range(n_dispatches):
+            state = runner(state, 1e9)
+        float(state.flow.dt)  # true completion barrier (D2H read)
         return time.perf_counter() - t0, state
 
+    # Latency-immune timing: difference a 1-dispatch and a 2-dispatch batch
+    # (one drain each) — fixed drain cost cancels, leaving STEPS marginal
+    # steps + one (async, ~us) enqueue. Median over 3 rounds.
     samples = []
     for _ in range(3):
-        t1, state = timed_batch(state, STEPS)
-        t2, state = timed_batch(state, 2 * STEPS)
+        t1, state = timed_batch(state, 1)
+        t2, state = timed_batch(state, 2)
         samples.append((t2 - t1) / STEPS * 1e3)
     positive = sorted(s for s in samples if s > 0)
     if positive:
@@ -105,6 +110,7 @@ def _run(warmup: int, n: int):
         "cell_updates_per_sec": round(n * n / (ms * 1e-3)),
         "checksum": round(checksum, 3),
         "samples_ms": [round(s, 3) for s in samples],
+        "steps_per_dispatch": STEPS,
     }))
 
 
@@ -118,12 +124,14 @@ def main():
     budget = float(os.environ.get("FS_BENCH_BUDGET_S", "1800"))
     start = time.time()
 
-    # Health gate: the timing below differences two batch sizes and dispatch
+    # Health gate: the timing above differences two batch sizes and dispatch
     # enqueue is async on this tunnel, so a slow synchronous RTT alone is
     # tolerated ("timeable") — but windows where the DEVICE itself is
     # degraded (~50-60 GB/s effective HBM) would inflate every number ~10x,
     # so those are waited out. tools/tpu_health.py measures rtt / enqueue /
     # effective bandwidth separately and classifies the window.
+    last_health = ["unprobed"]
+
     def healthy() -> bool:
         try:
             out = subprocess.run(
@@ -134,8 +142,10 @@ def main():
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
             sys.stderr.write(f"health probe: {line}\n")
+            last_health[0] = line or "no output"
             return line.startswith(("healthy", "timeable"))
-        except Exception:
+        except Exception as e:
+            last_health[0] = f"probe failed ({type(e).__name__})"
             return False
 
     while not healthy() and time.time() - start < budget * 0.4:
@@ -158,31 +168,26 @@ def main():
             return out.stdout.strip().splitlines()[-1], None
         return None, f"(warmup={warmup}, n={n}) failed:\n{out.stderr[-500:]}"
 
-    # Config auto-selection: the opt-in variants trade HBM traffic against
-    # kernel-launch count, and the tunnel's per-launch overhead swings from
-    # ~100 ns (healthy) to 10-50 us (degraded windows, hours at a time) —
-    # no single default wins both regimes. A 256^2 canary race picks the
-    # fastest config IN THIS WINDOW (launch-bound behavior is kernel-count
-    # driven and therefore size-independent, so the small canary transfers):
-    #   pallas     fused V-cycle smoothing (+transfers) + momentum + MG
-    #              setup RAP (fewer launches+bytes)
-    #   refresh    hierarchy built once per step, not per solve (~10k fewer
-    #              launches/step at +67% PCG iterations - wins only when
-    #              launch-bound)
-    # Explicitly-set env vars are respected and skip the canary.
+    # Config auto-selection. The fused Pallas kernels are DEFAULT-ON for TPU
+    # single-chip since round 2 (fluidsolver_tpu/flags.py), so the canary's
+    # job is narrower than round 1: pick the preconditioner refresh policy
+    # for THIS window (hierarchy-per-solve is better numerics; per-step is
+    # ~10k fewer launches/step at +67% PCG iterations and wins only when the
+    # tunnel is launch-bound), and keep an honest all-XLA "base" lane as a
+    # regression canary for the Pallas stack itself. Explicitly-set env vars
+    # are respected and skip the canary.
     flags = {}
-    _pallas = {"FS_PALLAS_VCYCLE": "1", "FS_PALLAS_MOMENTUM": "1",
-               "FS_PALLAS_RAP": "1", "FS_PALLAS_CG": "1"}
+    _base = {"FS_PALLAS_VCYCLE": "0", "FS_PALLAS_MOMENTUM": "0",
+             "FS_PALLAS_RAP": "0", "FS_PALLAS_CG": "0"}
     _refresh = {"FS_PRECOND_REFRESH": "step"}
     if (all(os.environ.get(k) is None for k in
             ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_REFRESH",
              "FS_PALLAS_RAP", "FS_PALLAS_CG"))
             and budget - (time.time() - start) > 1200):
         candidates = [
-            ("base", {}),
-            ("pallas", _pallas),
-            ("refresh-step", _refresh),
-            ("pallas+refresh", {**_pallas, **_refresh}),
+            ("default", {}),
+            ("default+refresh", _refresh),
+            ("base", _base),
         ]
         results = {}
         for name, env in candidates:
@@ -196,7 +201,8 @@ def main():
         if valid:
             best = min(valid, key=valid.get)
             # 5% hysteresis toward the plain default
-            if best != "base" and valid[best] < 0.95 * valid.get("base", float("inf")):
+            if best != "default" and valid[best] < 0.95 * valid.get(
+                    "default", float("inf")):
                 flags = dict(candidates[[c[0] for c in candidates].index(best)][1])
 
     attempts = [(WARMUP, N), (2, N), (2, N // 2), (2, N // 4), (2, N // 8)]
@@ -204,12 +210,16 @@ def main():
         remaining = budget - (time.time() - start)
         # leave headroom for at least one fallback attempt
         per_attempt = max(remaining / max(1, (2 - k)), 120.0) if k < 2 else max(remaining, 120.0)
+        # re-probe so the JSON records the window that produced the number
+        healthy_now = healthy()
         out, err = run_single(warmup, n, per_attempt, flags)
         if out is not None:
+            row = json.loads(out)
             if flags:
-                tag = json.dumps(flags)
-                out = out[:-1] + f', "autoselected": {tag}}}'
-            print(out)
+                row["autoselected"] = flags
+            row["window"] = last_health[0]
+            row["window_ok"] = bool(healthy_now)
+            print(json.dumps(row))
             return
         sys.stderr.write(f"bench attempt {err}\n")
     sys.stderr.write("all bench attempts failed\n")

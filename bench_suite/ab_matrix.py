@@ -69,11 +69,16 @@ def probe_health() -> tuple[bool, str]:
 
 def run_variant(name, env_extra, n) -> dict | None:
     env = dict(os.environ)
-    # kill any inherited A/B flags, then apply this variant's
-    for k in ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PRECOND_DTYPE",
-              "FS_PRECOND_REFRESH", "FS_PALLAS_RAP", "FS_PALLAS_CG",
-              "FS_PALLAS_TAIL"):
+    # kill any inherited A/B flags, then apply this variant's. The Pallas
+    # kernels are default-ON for TPU single-chip since round 2
+    # (fluidsolver_tpu/flags.py), so "base" must pin them off explicitly.
+    for k in ("FS_PRECOND_DTYPE", "FS_PRECOND_REFRESH", "FS_PALLAS_TAIL"):
         env.pop(k, None)
+    # (FS_PALLAS_TAIL keeps its own default "1": it only engages when the
+    # fused V-cycle is on, and "vcycle"/"both" variants rely on that.)
+    for k in ("FS_PALLAS_VCYCLE", "FS_PALLAS_MOMENTUM", "FS_PALLAS_RAP",
+              "FS_PALLAS_CG"):
+        env[k] = "0"
     env.update(env_extra)
     # smaller grids have smaller marginal step times; lengthen the batches
     # so the differenced signal stays above the tunnel's drain jitter

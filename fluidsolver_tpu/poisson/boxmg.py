@@ -483,22 +483,17 @@ def _checkerboard(shape, dtype):
 def _tr_fine_wanted() -> bool:
     """Pack fine-space transfer planes at build time (a handful of XLA
     kernels per level) iff the fused smoother will consume them."""
-    if not _USE_PALLAS_VC:
-        return False
-    import jax
-
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return _use_pallas_vc()
 
 
 def _rap_fused_ok(shape, dtype) -> bool:
     """Gate for the fused Pallas setup kernel (pallas_rap.fused_rap):
-    opt-in, TPU backend, single device (pallas_call does not partition
-    under GSPMD), and a shape the banded kernel accepts."""
-    if os.environ.get("FS_PALLAS_RAP", "0") != "1":
-        return False
-    import jax
+    default-on for TPU single-chip (FS_PALLAS_RAP overrides; pallas_call
+    does not partition under GSPMD), and a shape the banded kernel
+    accepts."""
+    from fluidsolver_tpu.flags import pallas_enabled
 
-    if jax.default_backend() != "tpu" or jax.device_count() > 1:
+    if not pallas_enabled("FS_PALLAS_RAP"):
         return False
     from fluidsolver_tpu.poisson import pallas_rap
 
@@ -590,23 +585,22 @@ def _rb_sweep(level: BoxLevel, x, b, reverse=False):
 
 import os
 
-# Fused temporally-blocked smoothing (pallas_vcycle.fused_smooth): one HBM
-# pass for a whole smoothing phase + residual instead of one pass per
-# half-sweep. Opt-in until validated on real TPU hardware.
-_USE_PALLAS_VC = os.environ.get("FS_PALLAS_VCYCLE", "0") == "1"
+
+def _use_pallas_vc() -> bool:
+    """Fused temporally-blocked smoothing (pallas_vcycle.fused_smooth): one
+    HBM pass for a whole smoothing phase + residual instead of one pass per
+    half-sweep. Default-on for TPU single-chip (validated on hardware);
+    FS_PALLAS_VCYCLE overrides. CPU runs use the XLA sweeps (the kernels
+    themselves are validated on CPU eagerly via interpret=True in tests);
+    multi-device GSPMD programs also skip the kernels — pallas_call does
+    not partition, the XLA path shards correctly."""
+    from fluidsolver_tpu.flags import pallas_enabled
+
+    return pallas_enabled("FS_PALLAS_VCYCLE")
 
 
 def _fused_ok(level: BoxLevel, b) -> bool:
-    if not _USE_PALLAS_VC:
-        return False
-    import jax
-
-    if jax.default_backend() != "tpu" or jax.device_count() > 1:
-        # interpret-mode Pallas under jit is slow and is NOT the production
-        # path; CPU runs use the XLA sweeps (the kernels themselves are
-        # validated on CPU eagerly via interpret=True in tests). Multi-
-        # device GSPMD programs also skip the kernels — pallas_call does
-        # not partition; the XLA path shards correctly.
+    if not _use_pallas_vc():
         return False
     from fluidsolver_tpu.poisson import pallas_vcycle as pv
 

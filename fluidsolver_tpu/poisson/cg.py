@@ -197,16 +197,13 @@ def solve_pcg(
     # Pallas launches replace them (see poisson/pallas_cg.py). The fused
     # reduction order differs from jnp.sum at rounding level — CG is
     # self-correcting, convergence criteria are unchanged.
-    use_fused_iter = False
-    if os.environ.get("FS_PALLAS_CG", "0") == "1":
-        import jax as _jax
+    from fluidsolver_tpu.flags import pallas_enabled
 
+    use_fused_iter = False
+    if pallas_enabled("FS_PALLAS_CG"):
         from fluidsolver_tpu.poisson import pallas_cg
 
-        use_fused_iter = (
-            _jax.default_backend() == "tpu" and _jax.device_count() == 1
-            and pallas_cg.available(b.shape, b.dtype)
-        )
+        use_fused_iter = pallas_cg.available(b.shape, b.dtype)
         if use_fused_iter:
             # pad the loop-invariant operator planes ONCE, outside the loop
             op_padded = pallas_cg.pad_operator(op, b.shape)

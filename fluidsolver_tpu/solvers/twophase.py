@@ -39,12 +39,12 @@ import os
 
 
 def _use_pallas_momentum() -> bool:
-    """Fused Pallas momentum stage: opt-in (FS_PALLAS_MOMENTUM=1) on the
-    TPU backend until its hardware win is quantified."""
-    if os.environ.get("FS_PALLAS_MOMENTUM", "0") != "1":
-        return False
-    # single-chip only: pallas_call does not partition under GSPMD
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    """Fused Pallas momentum stage: default-on for TPU single-chip
+    (validated on hardware; see fluidsolver_tpu.flags), FS_PALLAS_MOMENTUM
+    env overrides in either direction."""
+    from fluidsolver_tpu.flags import pallas_enabled
+
+    return pallas_enabled("FS_PALLAS_MOMENTUM")
 
 
 @register_pytree_dataclass
