@@ -246,6 +246,45 @@ def calc_pressure_jump(vf, curv, interface_length, sigma: float, dx: float, dy: 
     return p_jump_u, p_jump_v
 
 
+# ---- surface tension as explicit tangential forces (src/FS.hpp:469-566) ---
+def calc_surface_tension_force(rec_nx, rec_ny, valid, sigma: float, f_sigma_u, f_sigma_v):
+    """Explicit tangent-force surface tension — the reference's alternative
+    capillary model (src/FS.hpp:469-566, consumed by the disabled branch in
+    examples/TwoPhaseSolver.cpp:348-355).
+
+    At each face whose two neighbor cells BOTH carry a PLIC reconstruction,
+    the interface pulls on the face with magnitude ``sigma`` along each
+    cell's interface tangent ``t = rot90(n) = (-n_y, n_x)``, the left/bottom
+    tangent oriented away from the face in ``-x``/``-y`` and the right/top
+    tangent in ``+x``/``+y`` (the sign flips at src/FS.hpp:511-521/553-563).
+    The stored face value is the face-normal component of the net pull,
+    ``sigma * (t_right - t_left)``.
+
+    ``rec_nx``/``rec_ny``: unit PLIC normals on the full ghost box;
+    ``valid``: interior-mixed mask (the reference's ``has_interface`` gate).
+    ``f_sigma_u``/``f_sigma_v`` are shape/dtype templates (U/V staggered).
+    """
+    tx = -rec_ny  # tangent = rot90(normal) (src/FS.hpp:479-481)
+    ty = rec_nx
+
+    # U faces: x-component of (right tangent - left tangent)
+    both = valid[:-1, 1:-1] & valid[1:, 1:-1]
+    t_left = jnp.where(tx[:-1, 1:-1] > 0.0, -tx[:-1, 1:-1], tx[:-1, 1:-1])
+    t_right = jnp.where(tx[1:, 1:-1] < 0.0, -tx[1:, 1:-1], tx[1:, 1:-1])
+    f_sigma_u = jnp.zeros_like(f_sigma_u).at[1:-1, 1:-1].set(
+        jnp.where(both, sigma * (t_right - t_left), 0.0)
+    )
+
+    # V faces: y-component of (top tangent - bottom tangent)
+    both = valid[1:-1, :-1] & valid[1:-1, 1:]
+    t_bot = jnp.where(ty[1:-1, :-1] > 0.0, -ty[1:-1, :-1], ty[1:-1, :-1])
+    t_top = jnp.where(ty[1:-1, 1:] < 0.0, -ty[1:-1, 1:], ty[1:-1, 1:])
+    f_sigma_v = jnp.zeros_like(f_sigma_v).at[1:-1, 1:-1].set(
+        jnp.where(both, sigma * (t_top - t_bot), 0.0)
+    )
+    return f_sigma_u, f_sigma_v
+
+
 # ---- CFL time-step controller (src/FS.hpp:100-128) ------------------------
 def adjust_dt(
     U, V, rho_u, rho_v, visc, dx: float, dy: float,

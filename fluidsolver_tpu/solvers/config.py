@@ -90,6 +90,16 @@ class SolverConfig:
     # curvature method: "volume_matching" | "regression" | "convolved"
     curvature_method: str = "volume_matching"
 
+    # capillary model: "pressure_jump" (the reference's production branch,
+    # src/FS.hpp:439-466 — curvature-weighted jump in both momentum and the
+    # Poisson RHS) | "tangent_force" (the explicit tangential-pull
+    # alternative, src/FS.hpp:469-566 + examples/TwoPhaseSolver.cpp:348-355,
+    # injected into the Poisson RHS only)
+    surface_tension_method: str = "pressure_jump"
+    # the reference's hard-coded 100x calibration constant on the
+    # tangent-force divergence (examples/TwoPhaseSolver.cpp:351)
+    tangent_force_scale: float = 100.0
+
     # immersed-boundary mode: None | "diffuse" | "sharp" | "luchini" |
     # "luchini_implicit"; the precomputed IB fields are passed to make_step
     ib_mode: Optional[str] = None

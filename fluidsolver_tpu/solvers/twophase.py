@@ -129,19 +129,37 @@ def make_step(grid: Grid, cfg: SolverConfig):
 
         div = stencil.divergence(U, V, grid.dx, grid.dy)
 
-        # capillary forcing: pressure-jump increment folded into the RHS
-        # (TwoPhaseSolver.cpp:322-346)
-        pj_u_new, pj_v_new = mom.calc_pressure_jump(
-            vf_old, curv, iface_len, cfg.sigma, grid.dx, grid.dy, fs.p_jump_u, fs.p_jump_v
-        )
-        dpj_u = pj_u_new - fs.p_jump_u
-        dpj_v = pj_v_new - fs.p_jump_v
-        div = div.at[1:-1, 1:-1].add(
-            dt * (
-                (dpj_u[2:-1, 1:-1] / rho_u[2:-1, 1:-1] - dpj_u[1:-2, 1:-1] / rho_u[1:-2, 1:-1]) / grid.dx
-                + (dpj_v[1:-1, 2:-1] / rho_v[1:-1, 2:-1] - dpj_v[1:-1, 1:-2] / rho_v[1:-1, 1:-2]) / grid.dy
+        if cfg.surface_tension_method == "tangent_force":
+            # explicit tangential interface pull injected straight into the
+            # Poisson RHS (the reference's alternative capillary branch,
+            # TwoPhaseSolver.cpp:348-355, incl. its hard-coded 100x
+            # calibration as cfg.tangent_force_scale). p_jump stays zero:
+            # in this mode the momentum equation carries no capillary term —
+            # the pressure field alone balances the interface.
+            fsu, fsv = mom.calc_surface_tension_force(
+                rec.nx, rec.ny, rec.valid, cfg.sigma, fs.p_jump_u, fs.p_jump_v
             )
-        )
+            pj_u_new, pj_v_new = fs.p_jump_u, fs.p_jump_v
+            div = div.at[1:-1, 1:-1].add(
+                -dt * cfg.tangent_force_scale * (
+                    (fsu[2:-1, 1:-1] - fsu[1:-2, 1:-1]) / grid.dx
+                    + (fsv[1:-1, 2:-1] - fsv[1:-1, 1:-2]) / grid.dy
+                )
+            )
+        else:
+            # capillary forcing: pressure-jump increment folded into the RHS
+            # (TwoPhaseSolver.cpp:322-346)
+            pj_u_new, pj_v_new = mom.calc_pressure_jump(
+                vf_old, curv, iface_len, cfg.sigma, grid.dx, grid.dy, fs.p_jump_u, fs.p_jump_v
+            )
+            dpj_u = pj_u_new - fs.p_jump_u
+            dpj_v = pj_v_new - fs.p_jump_v
+            div = div.at[1:-1, 1:-1].add(
+                dt * (
+                    (dpj_u[2:-1, 1:-1] / rho_u[2:-1, 1:-1] - dpj_u[1:-2, 1:-1] / rho_u[1:-2, 1:-1]) / grid.dx
+                    + (dpj_v[1:-1, 2:-1] / rho_v[1:-1, 2:-1] - dpj_v[1:-1, 1:-2] / rho_v[1:-1, 1:-2]) / grid.dy
+                )
+            )
 
         if cfg.phase_change_mdot is not None:
             # expansion source on pure-liquid cells near the interface:

@@ -151,14 +151,23 @@ def main():
 
     from fluidsolver_tpu.poisson import cg as _cg
 
+    # tol/max_iter are chosen so the BASE run converges well inside the
+    # budget (asserted below): iteration parity is only a live gate when
+    # neither run saturates the cap.
+    PCG_TOL, PCG_MAX_ITER = 1e-4, 300
+
     def pcg_iters(flag):
+        # set the full flag set explicitly — do not rely on a preceding
+        # cycle_fn call's environment leftovers (ordering hazard)
         os.environ["FS_PALLAS_VCYCLE"] = flag
+        os.environ["FS_PALLAS_TAIL"] = flag
+        os.environ["FS_PALLAS_RAP"] = "0"
         os.environ["FS_PALLAS_CG"] = "0"
         import fluidsolver_tpu.poisson.boxmg as bm
 
         bm._USE_PALLAS_VC = flag == "1"
         fn = jax.jit(lambda o, r: _cg.solve_pcg(
-            o, r, tol=1e-5, max_iter=100, singular=True, precond="boxmg"))
+            o, r, tol=PCG_TOL, max_iter=PCG_MAX_ITER, singular=True, precond="boxmg"))
         _, res, it = fn(op, b - jnp.mean(b))
         return float(res), int(it)
 
@@ -166,7 +175,11 @@ def main():
     res_f, it_f = pcg_iters("1")
     print(f"PCG w/ precond 512^2: base {it_b}it res={res_b:.2e}  "
           f"fused-tail {it_f}it res={res_f:.2e}")
-    if not (it_f <= max(it_b * 1.25, it_b + 3) and res_f < 10 * max(res_b, 1e-5)):
+    if not (it_b < PCG_MAX_ITER):
+        failures += 1
+        print("FAIL: base PCG saturated max_iter — parity gate is vacuous; "
+              "raise PCG_MAX_ITER or loosen PCG_TOL")
+    if not (it_f <= max(it_b * 1.25, it_b + 3) and res_f < 2 * max(res_b, PCG_TOL)):
         failures += 1
         print("FAIL: tail cycle degrades PCG convergence")
     if not (cos > 0.999):
