@@ -3,8 +3,8 @@
 Round-1 state: every fused Pallas kernel was opt-in (env var "1") pending
 real-TPU validation. That validation passed (tools/validate_rap_tpu.py,
 2026-08-19: RAP numerics exact + 3.5x faster setup; fused V-cycle bit-exact
-on Mosaic; tail holds PCG iteration parity; fused CG tracks the base
-trajectory), so the kernels are now DEFAULT-ON whenever they can run at
+on Mosaic; tail matched residual at the iteration cap; fused CG tracks the
+base trajectory), so the kernels are now DEFAULT-ON whenever they can run at
 all: TPU backend, single device (pallas_call does not partition under
 GSPMD — multi-device programs take the XLA path, which shards correctly).
 
@@ -50,3 +50,15 @@ def pallas_requested(name: str) -> bool:
 def pallas_enabled(name: str) -> bool:
     """pallas_requested AND the platform gate (TPU, single device)."""
     return pallas_requested(name) and pallas_platform_ok()
+
+
+def nan_poison() -> bool:
+    """FS_NAN_POISON=1: the reference's scratch-NaN debug mode
+    (src/FS.hpp:163-171 fills the static flux scratch with quiet_NaN so a
+    read of an un-written cell poisons the result). The JAX analog of
+    "un-written scratch" is the synthesized zero ghost ring that
+    ``ops.momentum._pad1`` puts around interior-only expressions: under
+    this flag those rings are filled with NaN instead, so any consumer
+    that reads a synthesized ghost instead of real (BC-filled) data trips
+    a NaN in its output. Trace-time flag — set before building the step."""
+    return os.environ.get("FS_NAN_POISON") == "1"

@@ -41,10 +41,18 @@ def _visc_corner(visc: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pad1(interior: jnp.ndarray) -> jnp.ndarray:
-    """Embed an interior-sized expression into the full array with a zero
-    ghost ring. pad (not ``.at[1:-1,1:-1].set``): the scatter the latter
-    emits partitions worse under GSPMD."""
-    return jnp.pad(interior, ((1, 1), (1, 1)))
+    """Embed an interior-sized expression into the full array with a
+    synthesized ghost ring. pad (not ``.at[1:-1,1:-1].set``): the scatter
+    the latter emits partitions worse under GSPMD.
+
+    The ring is zero normally and NaN under FS_NAN_POISON=1 (the
+    reference's scratch-poisoning debug mode, src/FS.hpp:163-171): the
+    ring is "un-written scratch", and a downstream read of it instead of
+    real BC-filled data must trip a NaN, never silently consume a zero."""
+    from fluidsolver_tpu.flags import nan_poison
+
+    fill = float("nan") if nan_poison() else 0.0
+    return jnp.pad(interior, ((1, 1), (1, 1)), constant_values=fill)
 
 
 def _set_interior(base: jnp.ndarray, interior: jnp.ndarray) -> jnp.ndarray:
