@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
 
 
 def calc_rho_eps(rho_gas: float, rho_liquid: float) -> float:
@@ -223,8 +222,11 @@ def mix_visc(vf: jnp.ndarray, visc_gas: float, visc_liquid: float, arithmetic: b
     if arithmetic:
         visc = vf * visc_liquid + (1.0 - vf) * visc_gas
     else:
+        from fluidsolver_tpu.constants import vf_cutoffs
+
+        lo, hi = vf_cutoffs(vf.dtype)
         harmonic = (visc_liquid * visc_gas) / (visc_liquid * (1.0 - vf) + visc_gas * vf)
-        visc = jnp.where(vf < VF_LOW, visc_gas, jnp.where(vf > VF_HIGH, visc_liquid, harmonic))
+        visc = jnp.where(vf < lo, visc_gas, jnp.where(vf > hi, visc_liquid, harmonic))
     return apply_neumann_scalar(visc)
 
 

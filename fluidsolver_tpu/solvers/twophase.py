@@ -22,7 +22,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from fluidsolver_tpu.constants import VF_HIGH as VF_HIGH_CONST
 from fluidsolver_tpu.core import bc as bc_mod
 from fluidsolver_tpu.core.fields import register_pytree_dataclass
 from fluidsolver_tpu.core.grid import Grid
@@ -165,7 +164,9 @@ def make_step(grid: Grid, cfg: SolverConfig):
             # expansion source on pure-liquid cells near the interface:
             # each mixed cell's m_dot*A is distributed over the surrounding
             # pure-liquid cells (examples/ExpandingBubble.cpp:302-321)
-            pure = (vf_old >= VF_HIGH_CONST).astype(div.dtype)
+            from fluidsolver_tpu.constants import vf_cutoffs
+
+            pure = (vf_old >= vf_cutoffs(vf_old.dtype)[1]).astype(div.dtype)
             ker = jnp.ones((3, 3), div.dtype)
 
             def box3(f):

@@ -45,7 +45,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
 from fluidsolver_tpu.core.grid import Grid
 from fluidsolver_tpu.ops.stencil import sample_centered_stack
 from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift, clamp_lanes
@@ -228,16 +227,22 @@ def _overlap_from_neighbors(oct_x, oct_y, n8, vf_nb, mixed, pnx, pny, pd,
     vx, vy, n = _clip_halfplane(vx, vy, n, a_p, b_p, c_p)
 
     area = _poly_area(vx, vy, n)
-    return jnp.sum(jnp.where(vf_nb > VF_LOW, area, 0.0), axis=0)
+    from fluidsolver_tpu.constants import vf_cutoffs
+
+    lo, _ = vf_cutoffs(vf_nb.dtype)
+    return jnp.sum(jnp.where(vf_nb > lo, area, 0.0), axis=0)
 
 
 def _classify(vf_old, nx, ny, dtype):
     """Early-exit classification (src/VOF.hpp:198-214): (all_gas, all_liq)
     over the (nx, ny) interior."""
+    from fluidsolver_tpu.constants import vf_cutoffs
+
+    lo, hi = vf_cutoffs(dtype)
     nb_sum = jnp.zeros((nx, ny), dtype)
     for di, dj in _NEIGHBOR_OFFSETS:
         nb_sum = nb_sum + _shift(vf_old, di, dj)
-    return nb_sum < VF_LOW, nb_sum >= 9.0 * VF_HIGH
+    return nb_sum < lo, nb_sum >= 9.0 * hi
 
 
 def default_max_active(nx: int, ny: int) -> int:

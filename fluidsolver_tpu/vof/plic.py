@@ -27,7 +27,6 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from fluidsolver_tpu.constants import VF_HIGH, VF_LOW
 from fluidsolver_tpu.core.fields import register_pytree_dataclass
 
 _DEG_EPS = 1e-12  # relative threshold for an axis-aligned normal component
@@ -130,8 +129,13 @@ def plane_constant(nx, ny, frac, w, h):
 
 
 def has_interface(vf):
-    """Mixed-cell predicate (src/IR.hpp:19-23)."""
-    return (vf > VF_LOW) & (vf < VF_HIGH)
+    """Mixed-cell predicate (src/IR.hpp:19-23); dtype-aware cutoff so f32
+    full cells at 1 - O(eps32) are never classified as interface cells
+    (constants.vf_cutoffs)."""
+    from fluidsolver_tpu.constants import vf_cutoffs
+
+    lo, hi = vf_cutoffs(vf.dtype)
+    return (vf > lo) & (vf < hi)
 
 
 _NEIGHBOR_OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
