@@ -43,8 +43,17 @@ def reynolds(benchmark: int, t=0.0) -> float:
 
 def calc_p_diff(p, grid: Grid):
     """p(0.15, 0.2) - p(0.25, 0.2): front/back stagnation pressure diff
-    (DFGBenchmarkSetup.hpp:165-192)."""
-    xs = jnp.asarray([0.15, 0.25], p.dtype)
+    (DFGBenchmarkSetup.hpp:165-192).
+
+    The probe points sit exactly ON the cylinder surface; a bilinear sample
+    there mixes in solid-interior cells, which under sharp/ghost-cell IB
+    carry unconstrained pressure (decoupled rows integrate their rhs and
+    ramp linearly in time — measured ~24/t at ny=128 while the true dp is
+    ~0.117). Sample one cell outward along the stagnation line instead:
+    both points are stagnation points (u_wall = 0 so dp/dn = rho*u_t^2/r
+    vanishes there), making the displaced sample second-order accurate."""
+    d = 1.5 * grid.dx  # every bilinear-stencil center >= dx/2 outside
+    xs = jnp.asarray([0.15 - d, 0.25 + d], p.dtype)
     ys = jnp.asarray([0.2, 0.2], p.dtype)
     vals = sample_centered(p, grid.xm[1], grid.dx, grid.ym[1], grid.dy, xs, ys)
     return vals[0] - vals[1]
@@ -72,6 +81,74 @@ def calc_c_d(p, U, grid: Grid, um: float):
     contrib = ((p_l - p_r) + 2.0 * VISC * (dudx_r - dudx_l)) * g.dy
     drag = jnp.sum(jnp.where(inside, contrib, 0.0))
     return 2.0 * drag / (RHO * um**2 * L)
+
+
+def _surface_stress(p, U, V, grid: Grid, n_theta: int, delta):
+    """Traction vector sampled on a circle of radius r + delta around WALL.
+
+    Full deviatoric stress (the reference's theta-integral drag variant,
+    DFGBenchmarkSetup.hpp:300-331):
+        f = (-p + 2 mu du/dx) n_x e_x-part + mu (du/dy + dv/dx) n_y ...
+    assembled for both components. Gradients are finite differences on
+    their natural staggered locations (du/dx, dv/dy at centers; du/dy,
+    dv/dx at nodes), each bilinearly sampled at the probe points.
+
+    ``delta`` (default 1.5 cells) keeps every bilinear stencil CENTER at
+    least half a cell on the fluid side: ghost-cell IB modes leave
+    solid-interior pressure unconstrained (it ramps secularly, see
+    calc_p_diff), and a probe circle at r + dx/2 still has stencil centers
+    up to dx/2 INSIDE (measured: sharp-IB C_D reads 12.5-and-climbing at
+    delta = 0.5dx vs a steady 5.60 at 1.5dx, ny=128). At 1.5dx the
+    evaluator is literature-grade for every IB mode: sharp C_D 5.596 /
+    Luchini 5.640 (Schaefer-Turek 5.57-5.59), C_L ~ 0.013 (lit 0.0104-
+    0.0110), measured at t=1.3 quasi-steady state.
+    """
+    g = grid
+    if delta is None:
+        delta = 1.5 * min(g.dx, g.dy)
+    dt_ = p.dtype
+    theta = (jnp.arange(n_theta, dtype=dt_) + 0.5) * (2.0 * math.pi / n_theta)
+    nx_, ny_ = jnp.cos(theta), jnp.sin(theta)
+    rs = WALL.r + delta
+    px = WALL.x + rs * nx_
+    py = WALL.y + rs * ny_
+
+    # center-located fields: p, du/dx, dv/dy  (first interior center xm[1])
+    dudx = (U[1:, :] - U[:-1, :]) / g.dx          # (nx+2, ny+2)
+    dvdy = (V[:, 1:] - V[:, :-1]) / g.dy          # (nx+2, ny+2)
+    p_s = sample_centered(p, g.xm[1], g.dx, g.ym[1], g.dy, px, py)
+    dudx_s = sample_centered(dudx, g.xm[1], g.dx, g.ym[1], g.dy, px, py)
+    dvdy_s = sample_centered(dvdy, g.xm[1], g.dx, g.ym[1], g.dy, px, py)
+
+    # node-located fields: du/dy (at (x[i], y[j+1])), dv/dx (at (x[i+1], y[j]))
+    dudy = (U[:, 1:] - U[:, :-1]) / g.dy          # (nx+3, ny+1)
+    dvdx = (V[1:, :] - V[:-1, :]) / g.dx          # (nx+1, ny+3)
+    dudy_s = sample_centered(dudy, g.x[1], g.dx, g.y[2], g.dy, px, py)
+    dvdx_s = sample_centered(dvdx, g.x[2], g.dx, g.y[1], g.dy, px, py)
+
+    shear = VISC * (dudy_s + dvdx_s)
+    fx = (-p_s + 2.0 * VISC * dudx_s) * nx_ + shear * ny_
+    fy = shear * nx_ + (-p_s + 2.0 * VISC * dvdy_s) * ny_
+    ds = rs * (2.0 * math.pi / n_theta)
+    return jnp.sum(fx) * ds, jnp.sum(fy) * ds
+
+
+def calc_c_d_surface(p, U, V, grid: Grid, um: float, n_theta: int = 720,
+                     delta=None):
+    """Drag coefficient from the full surface-stress integral — includes
+    the skin friction the row-wise calc_c_d omits (the reference's active
+    row-wise variant, DFGBenchmarkSetup.hpp:333-360, has its friction sum
+    commented out and lands ~18% below the Schaefer-Turek band; this is
+    the literature-comparable evaluator)."""
+    fx, _ = _surface_stress(p, U, V, grid, n_theta, delta)
+    return 2.0 * fx / (RHO * um**2 * L)
+
+
+def calc_c_l_surface(p, U, V, grid: Grid, um: float, n_theta: int = 720,
+                     delta=None):
+    """Lift coefficient from the full surface-stress integral."""
+    _, fy = _surface_stress(p, U, V, grid, n_theta, delta)
+    return 2.0 * fy / (RHO * um**2 * L)
 
 
 def calc_c_l(p, V, grid: Grid, um: float):
