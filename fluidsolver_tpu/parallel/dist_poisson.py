@@ -291,7 +291,7 @@ def _solve_local(plan: Plan, tol, max_iter, singular, n_pre, n_post,
                 & (since < STAG_WINDOW))
 
     def body(carry):
-        x0_, r0_, z0_, p0_, rz, k, rel0_, best, since = carry
+        x0_, r0_, z0_, p0_, rz, k, rel0_, best, since, x_best = carry
         Ap = _apply_local(op, p0_)
         pAp = pdot(p0_, Ap)
         alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
@@ -312,11 +312,15 @@ def _solve_local(plan: Plan, tol, max_iter, singular, n_pre, n_post,
         improved = ok & (rel < best * 0.9999)
         best = jnp.minimum(best, rel)
         since = jnp.where(improved, 0, jnp.where(ok, since + 1, STAG_WINDOW))
-        return (x, r, z, p, rz_new, k + 1, rel, best, since)
+        # best-iterate return, mirroring cg.solve_pcg (see its comment)
+        x_best = jnp.where(rel <= best, x, x_best)
+        return (x, r, z, p, rz_new, k + 1, rel, best, since, x_best)
 
-    x, r, _, _, _, iters, rel, _, _ = lax.while_loop(
-        cond, body, (x0, r0, z0, p0, rz0, 0, rel0, rel0, 0)
+    _, _, _, _, _, iters, _, best, _, x_best = lax.while_loop(
+        lambda c: cond(c[:9]), body,
+        (x0, r0, z0, p0, rz0, 0, rel0, rel0, 0, x0),
     )
+    x, rel = x_best, best
     return project(x) if singular else x, rel, iters
 
 
