@@ -66,7 +66,7 @@ def pad_operator(op, shape):
 
 
 def available(shape, dtype=None) -> bool:
-    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False  # f64 is emulated on TPU; Mosaic rejects it
     return shape[0] >= 32 and shape[1] >= 2
 

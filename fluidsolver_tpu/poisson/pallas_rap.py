@@ -208,7 +208,7 @@ def _pick_band(M_total, ncoef, itemsize):
 
 
 def available(shape, dtype) -> bool:
-    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False  # f64 is emulated on TPU; Mosaic rejects it
     return shape[0] >= 8 and shape[1] >= 8
 

@@ -95,7 +95,7 @@ def available(levels, lvl, ignore_dtype=False) -> bool:
     ``ignore_dtype``: skip the f64 gate — for interpret-mode tests, which
     deliberately run in f64 for tight equivalence tolerances."""
     shape = levels[lvl].op.aC.shape
-    if not ignore_dtype and jnp.dtype(levels[lvl].op.aC.dtype).itemsize > 4:
+    if not ignore_dtype and jnp.dtype(levels[lvl].op.aC.dtype) != jnp.float32:
         return False  # f64 is emulated on TPU; Mosaic rejects it
     d = len(levels) - lvl
     if max(shape) > MAX_TAIL_SIDE or d > MAX_TAIL_LEVELS or d < 2:

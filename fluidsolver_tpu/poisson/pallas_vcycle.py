@@ -239,7 +239,7 @@ def _pick_band(N_pad, M, n_arrays, itemsize, H):
 def available(shape, dtype) -> bool:
     """Shape qualifies for the banded kernel (needs >= 2 bands of 8);
     f64 (emulated on TPU) is rejected — Mosaic has no 8-byte float."""
-    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False
     return shape[0] >= 32 and shape[1] >= 2
 

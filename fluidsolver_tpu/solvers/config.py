@@ -31,6 +31,16 @@ class SolverConfig:
     # pressure solve (defaults match HYPRE PCG+PFMG tol/maxiter usage,
     # examples/IncompSolver.cpp:40-41)
     pressure_tol: float = 1e-6
+    # Optional looser tolerance for all but the LAST subiteration's solve:
+    # intermediate projections only feed the next subiteration's coupling
+    # update (their error is re-corrected), so e.g. 1e-4 intermediate /
+    # 1e-6 final preserves the end-of-step solution quality while cutting
+    # total PCG iterations 22-23% (measured on the 64^2 gravity-drop golden
+    # config, 15 steps: 345 -> 270 iters f64 / 267 f32, end-of-step field
+    # deviation dU ~ 2e-10 f64 / 9e-9 f32, final p_res 1.5e-7 <= tol).
+    # None = reference behavior (every subiteration at pressure_tol,
+    # examples/IncompSolver.cpp:40-41).
+    pressure_tol_intermediate: Optional[float] = None
     pressure_max_iter: int = 50
     pressure_pin: Optional[str] = None  # None | "left"|"right"|"bottom"|"top"
     # "boxmg" (PCG + operator-dependent blackbox-MG V-cycle, poisson/boxmg.py

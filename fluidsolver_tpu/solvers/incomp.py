@@ -28,11 +28,14 @@ from fluidsolver_tpu.solvers.state import FlowState, save_old
 
 
 def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
-                   x0=None, levels=None):
+                   x0=None, levels=None, tol=None):
     """Assemble + PCG-solve the pressure Poisson system; returns the gauge-
     shifted increment delta_p and solver stats. ``x0``: optional warm-start
     guess; ``levels``: optional prebuilt MG hierarchy (see cg.solve_pcg /
-    cg.build_precond_levels)."""
+    cg.build_precond_levels); ``tol``: overrides cfg.pressure_tol (may be a
+    traced scalar — cfg.pressure_tol_intermediate plumbing)."""
+    if tol is None:
+        tol = cfg.pressure_tol
     op = linsys.assemble_pressure_operator(
         state.rho_u, state.rho_v, grid.dx, grid.dy, cfg.pressure_pin
     )
@@ -62,7 +65,7 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
             delta_p, rel, iters = cg.solve_pcg(
                 op,
                 rhs,
-                tol=cfg.pressure_tol,
+                tol=tol,
                 max_iter=cfg.pressure_max_iter,
                 singular=singular,
                 precond=cfg.pressure_solver,
@@ -90,7 +93,7 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
                 precond_dtype=precond_dtype,
             )
             common = dict(
-                tol=cfg.pressure_tol, max_iter=cfg.pressure_max_iter,
+                tol=tol, max_iter=cfg.pressure_max_iter,
                 singular=singular, M_inv=M_inv, x0=x0,
             )
             if cfg.pressure_method == "bicgstab":
@@ -160,7 +163,7 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         grid, cfg,
     )
 
-    def subiter(state: FlowState, dp_prev, dt, levels=None):
+    def subiter(state: FlowState, dp_prev, dt, levels=None, k=None):
         # ib may be a callable(state) for time-dependent solids
         # (the growing-solid case, examples/GrowingIB.cpp)
         ib_f = ib(state) if callable(ib) else ib
@@ -228,10 +231,15 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         div = stencil.divergence(U, V, grid.dx, grid.dy)
         if div_source is not None:
             div = div + div_source(state, dt)
+        if cfg.pressure_tol_intermediate is not None and k is not None:
+            tol_eff = jnp.where(k == cfg.num_subiter - 1, cfg.pressure_tol,
+                                cfg.pressure_tol_intermediate)
+        else:
+            tol_eff = None
         delta_p, rel, iters = pressure_solve(
             state, div, dt, grid, cfg,
             x0=dp_prev if cfg.pressure_warm_start else None,
-            levels=levels,
+            levels=levels, tol=tol_eff,
         )
         p = state.p + delta_p
         U, V = project_velocity(U, V, delta_p, state.rho_u, state.rho_v, dt, grid.dx, grid.dy)
@@ -260,7 +268,8 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         def do_subiters(s):
             return jax.lax.fori_loop(
                 0, cfg.num_subiter,
-                lambda _, c: subiter(c[0], c[1], dt, const_levels), (s, dp0),
+                lambda k, c: subiter(c[0], c[1], dt, const_levels, k),
+                (s, dp0),
             )[0]
 
         state = jax.lax.cond(dt > 0.0, do_subiters, lambda s: s, state)

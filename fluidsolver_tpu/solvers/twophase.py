@@ -198,10 +198,18 @@ def make_step(grid: Grid, cfg: SolverConfig):
             )
         else:
             levels = None
+        if cfg.pressure_tol_intermediate is not None and k is not None:
+            # loose intermediate solves, tight final (see config.py); k may
+            # be traced (fori_loop), so select at runtime
+            tol_eff = jnp.where(k == cfg.num_subiter - 1,
+                                cfg.pressure_tol,
+                                cfg.pressure_tol_intermediate)
+        else:
+            tol_eff = None
         delta_p, rel, iters = incomp.pressure_solve(
             fs, div, dt, grid, cfg,
             x0=dp_prev if cfg.pressure_warm_start else None,
-            levels=levels,
+            levels=levels, tol=tol_eff,
         )
         p = fs.p + delta_p
         U, V = incomp.project_velocity(U, V, delta_p, rho_u, rho_v, dt, grid.dx, grid.dy)
@@ -318,7 +326,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
                 )[0]
             return jax.lax.fori_loop(
                 0, cfg.num_subiter,
-                lambda _, c: subiter(c[0], c[1], vof_state, dt, c[0].t),
+                lambda k, c: subiter(c[0], c[1], vof_state, dt, c[0].t, k),
                 (f, dp0),
             )[0]
 
