@@ -116,6 +116,10 @@ class BoxLevel:
     # TailPack covering THIS and all coarser levels as one Pallas launch
     # (pallas_tail), or None
     tail: object = None
+    # (coefs, planes) pre-padded to the fused smoother's band layout
+    # (pallas_vcycle.pack_banded) — loop-invariant, built once per
+    # hierarchy so fused_smooth skips ~9-11 full-array pads per call
+    banded: object = None
 
 
 def _corners(op):
@@ -561,6 +565,13 @@ def _attach_fused_vcycle(levels):
                 levels[lvl].tr, levels[lvl].op.aC.shape)
     if tail_lvl < len(levels):
         levels[tail_lvl].tail = pt.build_tail_pack(levels, tail_lvl)
+    # pre-pad the loop-invariant fused_smooth operands (coefs + planes)
+    # once per hierarchy — fused_smooth otherwise re-pads ~11 full arrays
+    # per call (bandwidth + launch toll, see pack_banded docstring)
+    for lvl in range(min(tail_lvl, len(levels) - 1)):
+        level = levels[lvl]
+        if pv.available(level.op.aC.shape, level.op.aC.dtype):
+            level.banded = pv.pack_banded(level.op, level.tr_fine)
     return levels
 
 
@@ -646,20 +657,23 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
                 x, bc = pv.fused_smooth(
                     level.op, b_l, colors=(True, False) * n_pre,
                     tr_planes=level.tr_fine, restrict=True,
+                    banded=level.banded,
                 )
                 ec = cycle(lvl + 1, bc)
                 return pv.fused_smooth(
                     level.op, b_l, x0=x, colors=(False, True) * n_post,
                     tr_planes=level.tr_fine, ec=ec,
+                    banded=level.banded,
                 )
             x, r = pv.fused_smooth(
                 level.op, b_l, colors=(True, False) * n_pre,
-                residual=True,
+                residual=True, banded=level.banded,
             )
             ec = cycle(lvl + 1, restrict_box(level.tr, r))
             x = x + prolong_box(level.tr, ec, b_l.shape)
             return pv.fused_smooth(
                 level.op, b_l, x0=x, colors=(False, True) * n_post,
+                banded=level.banded,
             )
         for _ in range(n_pre):
             x = _rb_sweep(level, x, b_l)

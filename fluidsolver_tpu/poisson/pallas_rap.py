@@ -268,17 +268,32 @@ def fused_rap(op, interpret=False):
 
     # reassemble fine-space packed planes: band interiors + 2 extra rows
     # from the last band (odd-parity slots of coarse row Nc-1 can land on
-    # data rows N / N+1)
+    # data rows N / N+1). Band interiors are contiguous in the canvas, so
+    # the body is one slice + reshape (not n_bands slices + concat).
     def extract(canvas):
-        parts = [canvas[k, PAD:PAD + B] for k in range(n_bands)]
-        parts.append(canvas[n_bands - 1, PAD + B:PAD + B + 2])
-        return jnp.concatenate(parts, axis=0)[:N + 2]
+        body = canvas[:, PAD:PAD + B].reshape(n_bands * B, M_total)
+        tail = canvas[n_bands - 1, PAD + B:PAD + B + 2]
+        return jnp.concatenate([body, tail], axis=0)[:N + 2]
 
     planes = [extract(res[k]) for k in range(N_PLANES)]
 
+    # Parity unpack via ONE layout-change reshape per plane + static
+    # indexing. The naive a[p::2, PAD+q::2] stride-2 slices lower to
+    # catastrophically slow TPU gathers: measured 43 ms for the 17 slices
+    # of a 1026^2 level vs ~the bandwidth cost for this form (PAD is even,
+    # so column parity over the full lane span equals q).
+    assert PAD % 2 == 0
+    R = (N + 2 + 1) // 2
+
+    def plane4(a):
+        a = jnp.pad(a, ((0, 2 * R - a.shape[0]), (0, 0)))
+        return a.reshape(R, 2, M_total // 2, 2)
+
+    planes4 = [plane4(a) for a in planes]
+
     def unpack(name):
         plane, p, q = _SLOTS[name]
-        v = planes[plane][p::2, PAD + q::2][:Nc, :Mc]
+        v = planes4[plane][:, p, :, q][:Nc, PAD // 2:PAD // 2 + Mc]
         return _pad_to(v, (Nc, Mc))
 
     tr = BoxTransfer(**{name: unpack(name) for name in _W_NAMES})

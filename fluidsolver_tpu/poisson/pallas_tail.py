@@ -109,9 +109,17 @@ def available(levels, lvl, ignore_dtype=False) -> bool:
 
 
 def _dilate(arr, stride, cs):
-    z = jnp.zeros(cs, arr.dtype)
+    """arr[k, l] -> canvas[k*stride, l*stride], zeros elsewhere. Built as
+    block-pad + reshape, NOT a strided scatter: stride-s index updates
+    lower to very slow TPU gathers/scatters (the stride-2 parity slices
+    they mirror measured 43 ms/level at 1024^2 — see pallas_rap)."""
     n, m = arr.shape
-    return z.at[: n * stride : stride, : m * stride : stride].set(arr)
+    if stride == 1:
+        return jnp.pad(arr, ((0, cs[0] - n), (0, cs[1] - m)))
+    blk = jnp.pad(arr[:, None, :, None],
+                  ((0, 0), (0, stride - 1), (0, 0), (0, stride - 1)))
+    dil = blk.reshape(n * stride, m * stride)[:cs[0], :cs[1]]
+    return jnp.pad(dil, ((0, cs[0] - dil.shape[0]), (0, cs[1] - dil.shape[1])))
 
 
 def build_tail_pack(levels, lvl) -> TailPack:

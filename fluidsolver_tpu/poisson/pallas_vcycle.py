@@ -236,6 +236,53 @@ def _pick_band(N_pad, M, n_arrays, itemsize, H):
     return 8
 
 
+# worst-case operand count / halo across all fused_smooth variants: the
+# band layout is computed from these regardless of the actual call variant
+# so pre-padded operands (pack_banded) are shared by every variant.
+_MAX_ARRAYS = 14  # 9 coefs + b + x0 + 2 planes + e_up
+_MAX_H = 8
+
+
+def band_layout(N, M, itemsize):
+    """(B, n_bands, N_total, M_pad) of the band layout for an (N, M) level —
+    variant-independent (worst-case VMEM estimate), so one padded copy of a
+    loop-invariant operand serves every fused_smooth call on the level."""
+    M_pad = -(-M // 128) * 128
+    B = _pick_band(N + 2 * _MAX_H, M_pad, _MAX_ARRAYS, itemsize, _MAX_H)
+    n_bands = -(-N // B)
+    return B, n_bands, n_bands * B + 16, M_pad
+
+
+def band_pad(a, N, M):
+    """Pad one operand of an (N, M)-shaped level to the band layout (rows
+    [8, 8+rows) hold the data; pack_transfer planes may be one row/col
+    taller than (N, M) for odd N — the layout always has room)."""
+    _, _, N_total, M_pad = band_layout(N, M, jnp.dtype(a.dtype).itemsize)
+    return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+                       (0, M_pad - a.shape[1])))
+
+
+def pack_banded(op, tr_fine=None):
+    """Pre-pad the hierarchy-invariant fused_smooth operands (stencil
+    coefficients + packed transfer planes) ONCE per hierarchy build.
+
+    Without this, every fused_smooth call re-pads ~9-11 full-size arrays
+    (one XLA kernel + a read/write pass of HBM each) before its single
+    pallas_call — at 1024^2 that is ~45 MB of copies per smoother call,
+    8 calls per V-cycle, ~20 V-cycles per solve. The padded copies are
+    loop-invariant, so building them with the hierarchy removes both the
+    bandwidth and the per-kernel launch toll of the tunnel's timeable
+    windows."""
+    N, M = op.aC.shape
+    names = ["aC", "aL", "aR", "aB", "aT"]
+    if hasattr(op, "aSW"):
+        names += ["aSW", "aSE", "aNW", "aNE"]
+    coefs = tuple(band_pad(getattr(op, n), N, M) for n in names)
+    planes = (tuple(band_pad(p, N, M) for p in tr_fine)
+              if tr_fine is not None else None)
+    return coefs, planes
+
+
 def available(shape, dtype) -> bool:
     """Shape qualifies for the banded kernel (needs >= 2 bands of 8);
     f64 (emulated on TPU) is rejected — Mosaic has no 8-byte float."""
@@ -247,7 +294,7 @@ def available(shape, dtype) -> bool:
 @functools.partial(jax.jit, static_argnames=("colors", "residual",
                                               "restrict", "interpret"))
 def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
-                 tr_planes=None, restrict=False, ec=None):
+                 tr_planes=None, restrict=False, ec=None, banded=None):
     """Run ``colors`` (tuple of bools: True = red half-step) starting from
     ``x0`` (or zero); optionally also return r = b - A x. One HBM pass,
     exactly equivalent to chaining boxmg._rb_sweep color updates.
@@ -256,7 +303,10 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     (x, P^T r) with the restriction fused into the residual epilogue
     (== restrict_box(tr, b - A x)); ``ec`` (coarse error) fuses
     prolongation + correction into the prologue, i.e. the smoothing starts
-    from x0 + prolong_box(tr, ec)."""
+    from x0 + prolong_box(tr, ec).
+
+    ``banded`` (from pack_banded): pre-padded (coefs, planes) in the band
+    layout — skips the per-call jnp.pad of every loop-invariant operand."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -271,22 +321,18 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     has_x0 = x0 is not None
     is9 = hasattr(op, "aSW")
     ncoef = 9 if is9 else 5
-    n_arrays = ncoef + 1 + (1 if has_x0 else 0) + (2 if has_tr else 0) \
-        + (1 if has_corr else 0)
 
     # pad rows to a whole number of bands and lanes (cols) to a 128 multiple
     # (Mosaic: HBM slice lane dims must be tile-aligned); padded cells carry
     # aC=0 (inert: their updates read b=0 -> x stays 0, matching XLA's
-    # zero-fill shifts at the true boundary)
-    M_pad = -(-M // 128) * 128
-    B = _pick_band(N + 2 * H, M_pad, n_arrays, jnp.dtype(dtype).itemsize, H)
+    # zero-fill shifts at the true boundary). The layout is variant-
+    # independent (band_layout) so pack_banded operands fit every call.
+    B, n_bands, N_total, M_pad = band_layout(N, M, jnp.dtype(dtype).itemsize)
     # fixed 8-row halo on both sides (covers any H <= 8) keeps every DMA
     # start and slice length provably 8-aligned for Mosaic; data sits at
     # rows [8, 8+N) so every band window is statically rows [kB, kB+B+16)
     assert H <= 8
     W = B + 16
-    n_bands = -(-N // B)
-    N_total = n_bands * B + 16
 
     def pad_rows(a):
         return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
@@ -302,17 +348,28 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     out_shapes = tuple(
         jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype) for _ in range(n_out)
     )
-    coef_arrays = [op.aC, op.aL, op.aR, op.aB, op.aT]
-    if is9:
-        coef_arrays += [op.aSW, op.aSE, op.aNW, op.aNE]
-    args = coef_arrays + [b] + ([x0] if has_x0 else [])
+    if banded is not None:
+        coef_pads, plane_pads = banded
+        assert len(coef_pads) == ncoef
+        assert coef_pads[0].shape == (N_total, M_pad), (
+            coef_pads[0].shape, (N_total, M_pad))
+        args = list(coef_pads)
+    else:
+        coef_arrays = [op.aC, op.aL, op.aR, op.aB, op.aT]
+        if is9:
+            coef_arrays += [op.aSW, op.aSE, op.aNW, op.aNE]
+        args = [pad_rows(a) for a in coef_arrays]
+        plane_pads = None
+    args.append(pad_rows(b))
+    if has_x0:
+        args.append(pad_rows(x0))
     if has_tr:
-        args += list(tr_planes)
+        args += (list(plane_pads) if plane_pads is not None
+                 else [pad_rows(a) for a in tr_planes])
     if has_corr:
         # nearest-neighbor upsample: ec(k+di, l+dj) becomes a ±1 fine shift
         e_up = jnp.repeat(jnp.repeat(ec, 2, axis=0), 2, axis=1)[:N, :M]
-        args.append(e_up)
-    args = [pad_rows(a) for a in args]
+        args.append(pad_rows(e_up))
 
     res = pl.pallas_call(
         kernel,
@@ -336,8 +393,14 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
         return bands.reshape(n_bands * B, M_pad)[:N, :M]
 
     if restrict:
-        # even-even positions ARE the coarse grid (== restrict_box result)
-        return extract(res[0]), extract(res[1])[0::2, 0::2]
+        # even-even positions ARE the coarse grid (== restrict_box result).
+        # Parity-select via reshape + static index, NOT [0::2, 0::2]:
+        # stride-2 slices lower to very slow TPU gathers (measured 43 ms
+        # for 17 such slices at 1024^2 — see pallas_rap.fused_rap).
+        Nc, Mc = (N + 1) // 2, (M + 1) // 2
+        flat = res[1].reshape(n_bands * B, M_pad)
+        rows = flat[:2 * Nc].reshape(Nc, 2, M_pad // 2, 2)
+        return extract(res[0]), rows[:, 0, :, 0][:, :Mc]
     if residual:
         return extract(res[0]), extract(res[1])
     return extract(res[0])

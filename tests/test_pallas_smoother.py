@@ -157,3 +157,46 @@ def test_v_cycle_fused_transfers_wiring(monkeypatch):
     got = boxmg.v_cycle(fused_levels, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-10, atol=1e-10)
+
+    # pre-padded (pack_banded) operands: bit-identical to the per-call pads
+    for l in fused_levels:
+        if l.tr_fine is not None:
+            l.banded = pv.pack_banded(l.op, l.tr_fine)
+    got_banded = boxmg.v_cycle(fused_levels, b)
+    np.testing.assert_array_equal(np.asarray(got_banded), np.asarray(got))
+
+
+def test_fused_smooth_banded_parity():
+    # banded= pre-padded operands produce bit-identical results in every
+    # call variant (restrict epilogue, correction prologue, plain residual)
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    boxmg, level, b, x0 = _boxmg_level(63, 41, seed=29)
+    planes = pv.pack_transfer(level.tr, level.op.aC.shape)
+    banded = pv.pack_banded(level.op, planes)
+
+    ref_x, ref_bc = pv.fused_smooth(
+        level.op, b, colors=(True, False), tr_planes=planes,
+        restrict=True, interpret=True)
+    got_x, got_bc = pv.fused_smooth(
+        level.op, b, colors=(True, False), tr_planes=planes,
+        restrict=True, banded=banded, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(ref_x))
+    np.testing.assert_array_equal(np.asarray(got_bc), np.asarray(ref_bc))
+
+    Nc, Mc = level.tr.pW.shape
+    ec = jnp.asarray(np.random.default_rng(31).normal(size=(Nc, Mc)))
+    ref = pv.fused_smooth(level.op, b, x0=x0, colors=(False, True),
+                          tr_planes=planes, ec=ec, interpret=True)
+    got = pv.fused_smooth(level.op, b, x0=x0, colors=(False, True),
+                          tr_planes=planes, ec=ec, banded=banded,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    ref_x, ref_r = pv.fused_smooth(level.op, b, colors=(True, False),
+                                   residual=True, interpret=True)
+    got_x, got_r = pv.fused_smooth(level.op, b, colors=(True, False),
+                                   residual=True, banded=banded,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(ref_x))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
