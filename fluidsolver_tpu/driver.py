@@ -15,6 +15,7 @@ from fluidsolver_tpu.cases import Case
 from fluidsolver_tpu.io.monitor import Monitor
 from fluidsolver_tpu.io.writer import SaveCadence, make_data_writer
 from fluidsolver_tpu.ops import stencil
+from fluidsolver_tpu.solvers.state import end_tolerance
 
 
 class Simulation:
@@ -176,7 +177,8 @@ class Simulation:
             self.monitor.write()
         wall0 = time.perf_counter()
         n = 0
-        while float(self._obs_scalar("time")) < t_end - 1e-14 and n < max_steps:
+        t_tol = end_tolerance(self._flow().t.dtype, t_end)
+        while float(self._obs_scalar("time")) < t_end - t_tol and n < max_steps:
             self.state = self.step(self.state, t_end)
             self._invalidate_obs()
             n += 1

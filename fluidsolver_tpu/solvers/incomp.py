@@ -24,7 +24,8 @@ from fluidsolver_tpu.ops import momentum as mom
 from fluidsolver_tpu.ops import stencil
 from fluidsolver_tpu.poisson import cg, linsys
 from fluidsolver_tpu.solvers.config import SolverConfig
-from fluidsolver_tpu.solvers.state import FlowState, save_old
+from fluidsolver_tpu.solvers.state import (FlowState, clamp_dt_to_end,
+                                            end_tolerance, save_old)
 
 
 def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
@@ -255,7 +256,7 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
             grid.dx, grid.dy, cfg.rho_gas, cfg.rho_liquid, cfg.sigma,
             cfg.cfl_max, cfg.dt_max,
         )
-        dt = jnp.minimum(dt, t_end - state.t)
+        dt = clamp_dt_to_end(dt, state.t, t_end)
         state = save_old(state)
         state = dataclasses.replace(state, p_iter=jnp.zeros((), jnp.int32))
         # fori_loop so the subiteration (incl. the pressure solve) compiles
@@ -283,7 +284,7 @@ def run(state: FlowState, t_end: float, grid: Grid, cfg: SolverConfig,
     """Host time loop: while t < t_end, mirroring the drivers' main loops."""
     step = make_step(grid, cfg)
     for _ in range(max_steps):
-        if float(state.t) >= t_end - 1e-14:
+        if float(state.t) >= t_end - end_tolerance(state.t.dtype, t_end):
             break
         state = step(state, t_end)
         if callback is not None:

@@ -16,6 +16,33 @@ from fluidsolver_tpu.core.fields import register_pytree_dataclass
 from fluidsolver_tpu.core.grid import Grid
 
 
+def end_tolerance(dtype, t_end: float) -> float:
+    """Dtype-aware 'reached t_end' tolerance for the run loops.
+
+    In f32 the accumulated time carries O(n_steps * ulp(t)) rounding error,
+    so after the last intended step ``t`` can sit a few ULP short of
+    ``t_end``. The old absolute 1e-14 guard then admits one more 'residue
+    step' whose dt is pure roundoff (~1e-9): the Poisson RHS scales with
+    1/dt, which amplifies f32 rounding noise into O(1) pressure junk
+    (caught by tests/test_golden.py::test_golden_f32_two_phase_drop).
+    Must equal the ``clamp_dt_to_end`` snap threshold: a remaining time
+    above this tolerance is never snapped, so the run loop always makes
+    progress."""
+    eps = float(jnp.finfo(jnp.dtype(dtype)).eps)
+    return max(1e-14, 64.0 * eps * abs(float(t_end)))
+
+
+def clamp_dt_to_end(dt, t, t_end):
+    """min(dt, t_end - t), with sub-roundoff residues snapped to EXACTLY
+    zero — the step functions no-op on dt == 0 (trailing scan steps), so
+    the snap turns the f32 'residue step' into that same safe no-op."""
+    remaining = t_end - t
+    tiny = 64.0 * jnp.finfo(remaining.dtype).eps * jnp.maximum(
+        jnp.abs(jnp.asarray(t_end, remaining.dtype)), jnp.abs(t))
+    remaining = jnp.where(remaining <= tiny, 0.0, remaining)
+    return jnp.minimum(dt, remaining)
+
+
 @register_pytree_dataclass
 @dataclasses.dataclass
 class FlowState:

@@ -29,7 +29,8 @@ from fluidsolver_tpu.ops import momentum as mom
 from fluidsolver_tpu.ops import stencil
 from fluidsolver_tpu.solvers import incomp
 from fluidsolver_tpu.solvers.config import SolverConfig
-from fluidsolver_tpu.solvers.state import FlowState, init_flow_state
+from fluidsolver_tpu.solvers.state import (FlowState, clamp_dt_to_end,
+                                            end_tolerance, init_flow_state)
 from fluidsolver_tpu.vof import advect as adv
 from fluidsolver_tpu.vof import plic
 from fluidsolver_tpu.vof.curvature import curvature_quad_volume_matching
@@ -232,7 +233,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
             dt = jnp.minimum(dt, cfg.cfl_max * jnp.sqrt(grid.dy / abs(gy)))
         if gx != 0.0:
             dt = jnp.minimum(dt, cfg.cfl_max * jnp.sqrt(grid.dx / abs(gx)))
-        dt = jnp.minimum(dt, t_end - fs.t)
+        dt = clamp_dt_to_end(dt, fs.t, t_end)
 
         # state rotation: velocity now, density after remixing from vf_old
         fs = dataclasses.replace(fs, U_old=fs.U, V_old=fs.V)
@@ -362,7 +363,7 @@ def make_kinematic_step(grid: Grid, cfg: SolverConfig, velocity):
             U, V, fs.rho_u, fs.rho_v, fs.visc, grid.dx, grid.dy,
             cfg.rho_gas, cfg.rho_liquid, cfg.sigma, cfg.cfl_max, cfg.dt_max,
         )
-        dt = jnp.minimum(dt, t_end - fs.t)
+        dt = clamp_dt_to_end(dt, fs.t, t_end)
 
         vf_old = state.vf
         rec = plic.elvira(vf_old, grid.dx, grid.dy, max_mixed=cfg.vof_max_active)
@@ -389,7 +390,7 @@ def run(state: TwoPhaseState, t_end: float, grid: Grid, cfg: SolverConfig,
         callback=None, max_steps: int = 1_000_000) -> TwoPhaseState:
     step = make_step(grid, cfg)
     for _ in range(max_steps):
-        if float(state.flow.t) >= t_end - 1e-14:
+        if float(state.flow.t) >= t_end - end_tolerance(state.flow.t.dtype, t_end):
             break
         state = step(state, t_end)
         if callback is not None:

@@ -58,3 +58,33 @@ def test_driver_check_nan(tmp_path):
                      check_nan=True)
     sim.run(max_steps=2)
     assert sim.n_steps == 2
+
+
+def test_residue_step_snapped_f32():
+    """f32 time accumulation leaves t a few ULP short of t_end; the final
+    'residue step' must snap to dt == 0 exactly (the no-op path) instead of
+    running the physics with 1/dt ~ 1e9 (tests/test_golden.py f32 failure
+    mode). Genuine partial steps are untouched, and any remaining time
+    above end_tolerance is never snapped (run-loop progress guarantee)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidsolver_tpu.solvers.state import clamp_dt_to_end, end_tolerance
+
+    t_end = 0.0375
+    t = jnp.float32(t_end) - jnp.float32(3e-8)  # ~8 ULP short
+    dt = clamp_dt_to_end(jnp.float32(2.5e-3), t, t_end)
+    assert float(dt) == 0.0
+
+    t2 = jnp.float32(0.036)  # genuine partial final step
+    dt2 = clamp_dt_to_end(jnp.float32(2.5e-3), t2, t_end)
+    assert np.isclose(float(dt2), t_end - 0.036, rtol=1e-5)
+
+    # consistency: if the run-loop guard does NOT fire, dt stays positive
+    tol = end_tolerance(jnp.float32, t_end)
+    t3 = jnp.float32(t_end - 2 * tol)
+    dt3 = clamp_dt_to_end(jnp.float32(2.5e-3), t3, t_end)
+    assert float(dt3) > 0.0
+
+    # f64: tolerance stays at the old 1e-14 absolute guard
+    assert end_tolerance(jnp.float64, t_end) == 1e-14
