@@ -23,6 +23,7 @@ _PALLAS_FLAGS = (
     "FS_PALLAS_CG",
     "FS_PALLAS_MOMENTUM",
     "FS_PALLAS_TAIL",
+    "FS_PALLAS_VOF",
 )
 
 

@@ -199,13 +199,44 @@ def _make_kernel(B, W, Nc_pad, M, C, dx, dy, rho_eps, gx, gy, dtype,
     return kernel
 
 
+def _layout(Nc, M, dtype):
+    """(B, W, n_bands, Nc_pad, C_pad) of the momentum band layout — a pure
+    function of the center shape + dtype, shared by fused_momentum and
+    prepad_step_constants so pre-padded operands always fit."""
+    C_pad = -(-(M + 1) // 128) * 128
+    B = 256
+    per_row = (12 + 4) * C_pad * jnp.dtype(dtype).itemsize
+    while B > 8 and (B + 2 * H + 9) * per_row > VMEM_BUDGET_BYTES:
+        B //= 2
+    W = B + 16
+    n_bands = max(-(-Nc // B), -(-W // B))
+    return B, W, n_bands, n_bands * B, C_pad
+
+
+def prepad_step_constants(U_old, V_old, rho_u_old, rho_v_old, visc,
+                          center_shape):
+    """Pad the five per-STEP-constant fused_momentum inputs once per step
+    (they are re-padded identically on every one of the 5 subiteration
+    calls otherwise — ~25 extra kernels + ~100 MB of HBM copies per step
+    at 1024^2)."""
+    Nc, M = center_shape
+    _, _, _, Nc_pad, C_pad = _layout(Nc, M, visc.dtype)
+
+    def pad_to(a):
+        return jnp.pad(a, ((0, Nc_pad + 8 - a.shape[0]),
+                           (0, C_pad - a.shape[1])))
+
+    return tuple(pad_to(a) for a in (U_old, V_old, rho_u_old, rho_v_old,
+                                     visc))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dx", "dy", "rho_eps", "gx", "gy", "interpret"),
 )
 def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
                    visc, p, pj_u, pj_v, dt, *, dx, dy, rho_eps,
-                   gx=0.0, gy=0.0, interpret=False):
+                   gx=0.0, gy=0.0, interpret=False, prepadded=None):
     """Fused subiteration momentum stage. Returns
     (rho_u_new, rho_v_new, U_new, V_new) — identical (to rounding) to the
     unfused call sequence in solvers/twophase.subiter."""
@@ -215,14 +246,9 @@ def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
     Nc, M = p.shape  # center rows/cols; U has Nc+1 rows; V has M+1 cols
     dtype = p.dtype
 
-    C_pad = -(-(M + 1) // 128) * 128  # canvas cols, lane-aligned
-    B = 256
-    per_row = (12 + 4) * C_pad * jnp.dtype(dtype).itemsize
-    while B > 8 and (B + 2 * H + 9) * per_row > VMEM_BUDGET_BYTES:
-        B //= 2
-    W = B + 16  # fixed 8-row halo both sides: aligned DMA starts/lengths
-    n_bands = max(-(-Nc // B), -(-W // B))
-    Nc_pad = n_bands * B
+    # canvas layout: lane-aligned cols, fixed 8-row halo both sides so
+    # every band DMA start/length is aligned (see _layout)
+    B, W, n_bands, Nc_pad, C_pad = _layout(Nc, M, dtype)
 
     def pad_to(a, rows):
         r = rows - a.shape[0]
@@ -231,12 +257,24 @@ def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
 
     # every input padded to the uniform (Nc_pad + 8, M + 1) shape so each
     # band's DMA reads a full canvas slab (Rr = W + 8 rows) at an aligned
-    # start; the 8 extra rows double as the U-mesh's one-row overhang
-    args = [
-        pad_to(a, Nc_pad + 8)
-        for a in (U, V, U_old, V_old, rho_u_old, rho_v_old,
-                  rho_u, rho_v, visc, p, pj_u, pj_v)
-    ]
+    # start; the 8 extra rows double as the U-mesh's one-row overhang.
+    # The five per-step-constant inputs may come pre-padded
+    # (prepad_step_constants) — padded once per step, not per subiteration.
+    if prepadded is not None:
+        Uo_p, Vo_p, ruo_p, rvo_p, visc_p = prepadded
+        assert Uo_p.shape == (Nc_pad + 8, C_pad), (
+            Uo_p.shape, (Nc_pad + 8, C_pad))
+    else:
+        Uo_p = pad_to(U_old, Nc_pad + 8)
+        Vo_p = pad_to(V_old, Nc_pad + 8)
+        ruo_p = pad_to(rho_u_old, Nc_pad + 8)
+        rvo_p = pad_to(rho_v_old, Nc_pad + 8)
+        visc_p = pad_to(visc, Nc_pad + 8)
+    args = [pad_to(U, Nc_pad + 8), pad_to(V, Nc_pad + 8),
+            Uo_p, Vo_p, ruo_p, rvo_p,
+            pad_to(rho_u, Nc_pad + 8), pad_to(rho_v, Nc_pad + 8),
+            visc_p, pad_to(p, Nc_pad + 8),
+            pad_to(pj_u, Nc_pad + 8), pad_to(pj_v, Nc_pad + 8)]
 
     kernel = _make_kernel(
         B, W, Nc_pad, M, C_pad, dx, dy, rho_eps, gx, gy, dtype,

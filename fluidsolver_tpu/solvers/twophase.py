@@ -82,7 +82,8 @@ def make_step(grid: Grid, cfg: SolverConfig):
     rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
     gx, gy = cfg.gravity
 
-    def subiter(fs: FlowState, dp_prev, vof_state, dt, t, k=None, levels_carry=None):
+    def subiter(fs: FlowState, dp_prev, vof_state, dt, t, k=None, levels_carry=None,
+                mom_pre=None):
         vf_old, rec, curv, iface_len, m_dot_A = vof_state
 
         U = stencil.mid_time(fs.U, fs.U_old)
@@ -92,13 +93,15 @@ def make_step(grid: Grid, cfg: SolverConfig):
             # one banded Pallas pass for the whole momentum stage
             # (ops/pallas_momentum.py — identical math, single HBM read of
             # the shared fields); gravity interior add is equivalent before
-            # or after the Neumann ghost fill
+            # or after the Neumann ghost fill. mom_pre carries the per-step-
+            # constant inputs pre-padded once per step.
             from fluidsolver_tpu.ops.pallas_momentum import fused_momentum
 
             rho_u, rho_v, U, V = fused_momentum(
                 U, V, fs.U_old, fs.V_old, fs.rho_u_old, fs.rho_v_old,
                 fs.rho_u, fs.rho_v, fs.visc, fs.p, fs.p_jump_u, fs.p_jump_v,
                 dt, dx=grid.dx, dy=grid.dy, rho_eps=rho_eps, gx=gx, gy=gy,
+                prepadded=mom_pre,
             )
             rho_u = bc_mod.apply_neumann_scalar(rho_u)
             rho_v = bc_mod.apply_neumann_scalar(rho_v)
@@ -310,6 +313,18 @@ def make_step(grid: Grid, cfg: SolverConfig):
             #   "step":  build once inside subiteration 0 from its exact
             #            transported rho, reuse for the rest (5x less setup).
             vof_state = (vf_old, rec, curv, iface_len, m_dot_A)
+            if _use_pallas_momentum():
+                # per-step-constant momentum inputs padded ONCE, outside
+                # the subiteration loop (guaranteed hoist, ~25 kernels +
+                # ~100 MB of HBM copies saved per step at 1024^2)
+                from fluidsolver_tpu.ops import pallas_momentum as _pm
+
+                mom_pre = _pm.prepad_step_constants(
+                    f.U_old, f.V_old, f.rho_u_old, f.rho_v_old, f.visc,
+                    f.p.shape,
+                )
+            else:
+                mom_pre = None
             if cfg.pressure_precond_refresh == "step":
                 shapes = jax.eval_shape(
                     lambda ru, rv: incomp.build_step_levels(ru, rv, grid, cfg),
@@ -321,13 +336,15 @@ def make_step(grid: Grid, cfg: SolverConfig):
                 return jax.lax.fori_loop(
                     0, cfg.num_subiter,
                     lambda k, c: subiter(
-                        c[0], c[1], vof_state, dt, c[0].t, k, c[2]
+                        c[0], c[1], vof_state, dt, c[0].t, k, c[2],
+                        mom_pre=mom_pre,
                     ),
                     (f, dp0, zeros),
                 )[0]
             return jax.lax.fori_loop(
                 0, cfg.num_subiter,
-                lambda k, c: subiter(c[0], c[1], vof_state, dt, c[0].t, k),
+                lambda k, c: subiter(c[0], c[1], vof_state, dt, c[0].t, k,
+                                     mom_pre=mom_pre),
                 (f, dp0),
             )[0]
 

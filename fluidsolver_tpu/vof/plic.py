@@ -219,6 +219,17 @@ def elvira(vf: jnp.ndarray, dx: float, dy: float, max_mixed=None) -> Plic:
     (unused, ``valid``-gated) candidate values on non-mixed cells. Lane
     overflow sets ``Plic.overflow`` — consumed as an inf volume error by the
     solvers."""
+    from fluidsolver_tpu.flags import pallas_enabled
+
+    if pallas_enabled("FS_PALLAS_VOF"):
+        from fluidsolver_tpu.vof import pallas_elvira as pe
+
+        if pe.available(vf.shape, vf.dtype):
+            # dense banded kernel: all-cell candidate math in one HBM pass
+            # beats the sparse path's TPU gathers by ~10x (see module doc);
+            # downstream sparse consumers fall back to their own nonzero
+            # (lane_i is None) and overflow is structurally impossible
+            return pe.elvira_pallas(vf, dx=dx, dy=dy)
     if max_mixed is None:
         max_mixed = default_max_mixed(vf.shape[0] - 2, vf.shape[1] - 2)
     if max_mixed:
