@@ -343,7 +343,9 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
     # fill index is far out of bounds so the final scatter (mode="drop")
     # discards those lanes; all GATHERS go through the clamped copies so the
     # eager (non-jit) public API works too (plic.clamp_lanes)
-    ii, jj = jnp.nonzero(active, size=m, fill_value=nx * ny)
+    from fluidsolver_tpu.vof.plic import compact_indices
+
+    ii, jj = compact_indices(active, m, nx * ny)
     iig, jjg = clamp_lanes(ii, jj, nx, ny)
 
     # ---- per-active-cell corners, backtracked ------------------------------

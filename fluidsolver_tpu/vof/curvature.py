@@ -135,6 +135,16 @@ def curvature_quad_volume_matching(
     ``max_mixed``: lane budget of the sparse mixed-cells-only path (None =
     auto, 0 = dense all-cells; same convention as plic.elvira). The two are
     bit-identical — curvature is zero off the mixed set by construction."""
+    from fluidsolver_tpu.flags import pallas_enabled
+
+    if pallas_enabled("FS_PALLAS_VOF"):
+        from fluidsolver_tpu.vof import pallas_curvature as pc
+
+        if pc.available(vf_old.shape, vf_old.dtype):
+            # one banded HBM pass over the PLIC fields instead of the
+            # sparse path's nonzero + gathers (see pallas_curvature)
+            return pc.curvature_vm_pallas(
+                rec.nx, rec.ny, rec.d, rec.valid, dx=grid.dx, dy=grid.dy)
     if max_mixed is None:
         max_mixed = default_max_mixed(vf_old.shape[0] - 2, vf_old.shape[1] - 2)
     if max_mixed:
@@ -179,7 +189,9 @@ def _curvature_vm_sparse(vf_old: jnp.ndarray, rec: Plic, grid: Grid, m: int) -> 
         ii, jj = rec.lane_i, rec.lane_j
     else:
         mixed_int = rec.valid[1:-1, 1:-1]
-        ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+        from fluidsolver_tpu.vof.plic import compact_indices
+
+        ii, jj = compact_indices(mixed_int, m, nxc * nyc)
     iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
 
     # one batched gather for all 4 fields x 9 neighborhoods (36 separate

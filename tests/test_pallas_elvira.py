@@ -80,3 +80,40 @@ def test_pallas_elvira_matches_dense():
                           np.asarray(ref.d)[1:-1, 1:-1][v],
                           rtol=1e-9, atol=1e-12)
         assert same.mean() > 0.99, same.mean()
+
+
+def test_pallas_curvature_matches_dense():
+    """Dense Pallas curvature vs the XLA dense volume-matching fit
+    (interpret, f64). The kernel's trig-free rotation (ca = -ny,
+    sa = ±sqrt(1-ny²)) equals the acos/cos/sin roundtrip for unit normals
+    only to rounding, so comparisons carry a tolerance."""
+    from fluidsolver_tpu.vof import curvature as cv
+    from fluidsolver_tpu.vof import pallas_curvature as pc
+
+    for nx, ny in [(62, 62), (94, 40)]:
+        g, vf = _vf_case(nx, ny)
+        rec = plic._elvira_dense(vf, g.dx, g.dy)
+        ref = cv._curvature_vm_dense(vf, rec, g)
+        got = pc.curvature_vm_pallas(rec.nx, rec.ny, rec.d, rec.valid,
+                                     dx=g.dx, dy=g.dy, interpret=True)
+        a, b = np.asarray(got), np.asarray(ref)
+        assert a.shape == b.shape
+        # zero off the mixed set
+        v = np.asarray(rec.valid)
+        np.testing.assert_array_equal(a[~v], 0.0)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a[v], b[v], rtol=1e-6,
+                                   atol=1e-8 * scale)
+
+
+def test_compact_indices_matches_nonzero():
+    """compact_indices (top_k lowering) == jnp.nonzero(size, fill_value)
+    semantics, incl. row-major order, fill lanes, and overflow truncation."""
+    rng = np.random.default_rng(7)
+    for shape, m in [((37, 53), 64), ((37, 53), 2000), ((16, 16), 16)]:
+        mask = jnp.asarray(rng.random(shape) < 0.1)
+        fill = shape[0] * shape[1]
+        ri, rj = jnp.nonzero(mask, size=m, fill_value=fill)
+        gi, gj = plic.compact_indices(mask, m, fill)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(gj), np.asarray(rj))

@@ -73,6 +73,23 @@ def main():
     print(f"(C) winner agreement: {frac:.4f} (gate 0.99)", flush=True)
     ok &= frac > 0.99
 
+    # (B2) curvature: dense Pallas vs the sparse XLA fit (values agree to
+    # f32 rounding; the kernel's rotation is trig-free — see module doc)
+    from fluidsolver_tpu.core.grid import Grid  # noqa: F401
+    from fluidsolver_tpu.vof import curvature as cv
+    from fluidsolver_tpu.vof import pallas_curvature as pcur
+
+    ref_c = jax.device_get(jax.jit(lambda: cv._curvature_vm_sparse(
+        vf, got if same_valid else ref, g, plic.default_max_mixed(n, n)))())
+    got_c = jax.device_get(jax.jit(lambda: pcur.curvature_vm_pallas(
+        got.nx, got.ny, got.d, got.valid, dx=g.dx, dy=g.dy))())
+    vmask = np.asarray(got.valid)
+    dc = np.abs(np.asarray(got_c)[vmask] - np.asarray(ref_c)[vmask])
+    scale = max(1.0, np.abs(np.asarray(ref_c)).max())
+    print(f"(B2) curvature max |diff| = {dc.max() if vmask.any() else 0:.3e}"
+          f" (scale {scale:.1f}, gate 1e-3*scale)", flush=True)
+    ok &= (not vmask.any()) or dc.max() < 1e-3 * scale
+
     # (D) timing: fori-batched, everything consumed
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_suite"))
@@ -86,9 +103,21 @@ def main():
         r = pe.elvira_pallas(c, dx=g.dx, dy=g.dy)
         return c + (jnp.sum(r.nx) + jnp.sum(r.ny) + jnp.sum(r.d)) * 0.0
 
-    for name, fn in [("sparse", run_sparse), ("pallas", run_dense)]:
+    def run_curv_sparse(c):
+        rec = plic._elvira_sparse(c, g.dx, g.dy, plic.default_max_mixed(n, n))
+        return c + jnp.sum(cv._curvature_vm_sparse(
+            c, rec, g, plic.default_max_mixed(n, n))) * 0.0
+
+    def run_curv_pallas(c):
+        rec = pe.elvira_pallas(c, dx=g.dx, dy=g.dy)
+        return c + jnp.sum(pcur.curvature_vm_pallas(
+            rec.nx, rec.ny, rec.d, rec.valid, dx=g.dx, dy=g.dy)) * 0.0
+
+    for name, fn in [("sparse", run_sparse), ("pallas", run_dense),
+                     ("curv_sparse", run_curv_sparse),
+                     ("curv_pallas", run_curv_pallas)]:
         ms, sp = time_kernel(fn, vf, inner=20, reps=3)
-        print(f"(D) elvira_{name}: {ms*1e3:.3f} ms (+-{sp*1e3:.3f})", flush=True)
+        print(f"(D) {name}: {ms*1e3:.3f} ms (+-{sp*1e3:.3f})", flush=True)
 
     print("VALIDATE_VOF:", "PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
