@@ -244,10 +244,12 @@ def _dist_v_cycle(levels, tail, plan: Plan, b_loc, n_pre: int, n_post: int):
     return cycle(0, b_loc)
 
 
-def _solve_local(plan: Plan, tol, max_iter, singular, n_pre, n_post,
-                 aC, aL, aR, aB, aT, b, x0, use_x0):
+def _solve_local(plan: Plan, max_iter, singular, n_pre, n_post,
+                 aC, aL, aR, aB, aT, b, x0, use_x0, tol):
     """The shard_map body: full PCG on local slabs. Mirrors cg.solve_pcg
-    (stagnation + breakdown guards) with psum-reduced dots."""
+    (stagnation + breakdown guards) with psum-reduced dots. ``tol`` is a
+    traced scalar so callers can schedule it per subiteration
+    (cfg.pressure_tol_intermediate plumbing)."""
     op = StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
     levels, tail = _build_dist_levels(op, plan)
 
@@ -352,14 +354,14 @@ def solve_pcg_sharded(mesh, op: StencilOp, b, *, tol, max_iter, singular,
     # hierarchy build as its own tiny 8-way sharded op (minutes of per-op
     # compile + rendezvous; measured as an apparent hang on CPU meshes)
     fn = jax.jit(shard_map(
-        partial(_solve_local, plan, float(tol), int(max_iter), bool(singular),
+        partial(_solve_local, plan, int(max_iter), bool(singular),
                 int(n_pre), int(n_post)),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P(AXIS), P()),
+                  P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P(), P()),
         check_vma=False,
     ))
     x, rel, iters = fn(op.aC, op.aL, op.aR, op.aB, op.aT, b, x0,
-                       jnp.asarray(use_x0))
+                       jnp.asarray(use_x0), jnp.asarray(tol, b.dtype))
     return x[: plan.nx2], rel, iters

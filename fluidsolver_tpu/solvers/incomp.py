@@ -29,12 +29,15 @@ from fluidsolver_tpu.solvers.state import (FlowState, clamp_dt_to_end,
 
 
 def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
-                   x0=None, levels=None, tol=None):
+                   x0=None, levels=None, tol=None, mesh=None):
     """Assemble + PCG-solve the pressure Poisson system; returns the gauge-
     shifted increment delta_p and solver stats. ``x0``: optional warm-start
     guess; ``levels``: optional prebuilt MG hierarchy (see cg.solve_pcg /
     cg.build_precond_levels); ``tol``: overrides cfg.pressure_tol (may be a
-    traced scalar — cfg.pressure_tol_intermediate plumbing)."""
+    traced scalar — cfg.pressure_tol_intermediate plumbing); ``mesh``: a 1D
+    x-slab jax.sharding.Mesh — routes the solve through the PRODUCTION
+    distributed BoxMG-PCG (parallel/dist_poisson.py, explicit shard_map with
+    ICI halo exchange) instead of the single-device solver."""
     if tol is None:
         tol = cfg.pressure_tol
     op = linsys.assemble_pressure_operator(
@@ -51,6 +54,20 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
         periodic_x=per_x, periodic_y=per_y,
     )
     singular = cfg.pressure_pin is None
+    if mesh is not None:
+        if cfg.pressure_method != "pcg":
+            raise ValueError(
+                "multi-chip pressure solve supports pressure_method='pcg' "
+                f"only (got {cfg.pressure_method!r})")
+        from fluidsolver_tpu.parallel import dist_poisson
+
+        delta_p, rel, iters = dist_poisson.solve_pcg_sharded(
+            mesh, op, rhs, tol=tol, max_iter=cfg.pressure_max_iter,
+            singular=singular, n_pre=cfg.mg_pre, n_post=cfg.mg_post,
+            x0=x0 if cfg.pressure_warm_start else None,
+        )
+        delta_p = stencil.shift_pressure_to_zero(delta_p, grid.dx, grid.dy)
+        return delta_p, rel, iters
     if cfg.pressure_solver == "direct":
         from fluidsolver_tpu.poisson.direct import solve_direct
 

@@ -78,9 +78,33 @@ def init_two_phase_state(grid: Grid, cfg: SolverConfig, vf0, dtype=None) -> TwoP
     )
 
 
-def make_step(grid: Grid, cfg: SolverConfig):
+def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
+    """Build the jitted two-phase step. ``mesh``: a 1D x-slab
+    ``jax.sharding.Mesh`` — the PRODUCTION multi-chip step: every field is
+    sharded along grid-x (GSPMD domain decomposition for the stencil/VOF
+    stages, whose halo collectives XLA inserts) and the pressure Poisson
+    solve runs the explicit shard_map distributed BoxMG-PCG
+    (parallel/dist_poisson.py) with ICI point-to-point halo exchange.
+    The distributed solver rebuilds its hierarchy per solve, so
+    ``pressure_precond_refresh`` is ignored on a mesh."""
     rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
     gx, gy = cfg.gravity
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        def _constrain(x):
+            if hasattr(x, "ndim") and x.ndim >= 2:
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _P(*(("x",) + (None,) * (x.ndim - 1))))
+                )
+            return x
+
+        def constrain_tree(t):
+            return jax.tree_util.tree_map(_constrain, t)
+    else:
+        def constrain_tree(t):
+            return t
 
     def subiter(fs: FlowState, dp_prev, vof_state, dt, t, k=None, levels_carry=None,
                 mom_pre=None):
@@ -213,7 +237,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
         delta_p, rel, iters = incomp.pressure_solve(
             fs, div, dt, grid, cfg,
             x0=dp_prev if cfg.pressure_warm_start else None,
-            levels=levels, tol=tol_eff,
+            levels=levels, tol=tol_eff, mesh=mesh,
         )
         p = fs.p + delta_p
         U, V = incomp.project_velocity(U, V, delta_p, rho_u, rho_v, dt, grid.dx, grid.dy)
@@ -227,6 +251,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
 
     @jax.jit
     def step(state: TwoPhaseState, t_end) -> TwoPhaseState:
+        state = constrain_tree(state)
         fs = state.flow
         dt = mom.adjust_dt(
             fs.U, fs.V, fs.rho_u, fs.rho_v, fs.visc, grid.dx, grid.dy,
@@ -325,7 +350,7 @@ def make_step(grid: Grid, cfg: SolverConfig):
                 )
             else:
                 mom_pre = None
-            if cfg.pressure_precond_refresh == "step":
+            if cfg.pressure_precond_refresh == "step" and mesh is None:
                 shapes = jax.eval_shape(
                     lambda ru, rv: incomp.build_step_levels(ru, rv, grid, cfg),
                     f.rho_u, f.rho_v,
@@ -351,10 +376,10 @@ def make_step(grid: Grid, cfg: SolverConfig):
         fs = jax.lax.cond(dt > 0.0, do_subiters, lambda f: f, fs)
 
         fs = dataclasses.replace(fs, t=fs.t + dt, dt=dt)
-        return TwoPhaseState(
+        return constrain_tree(TwoPhaseState(
             flow=fs, vf=vf, vf_old=vf_old, curv=curv,
             interface_length=iface_len, vof_vol_error=vol_err,
-        )
+        ))
 
     return step
 
@@ -415,11 +440,12 @@ def run(state: TwoPhaseState, t_end: float, grid: Grid, cfg: SolverConfig,
     return state
 
 
-def make_scan_runner(grid: Grid, cfg: SolverConfig, n_steps: int):
+def make_scan_runner(grid: Grid, cfg: SolverConfig, n_steps: int, mesh=None):
     """Fixed-step production runner: ``n_steps`` full steps inside one
     ``lax.scan`` — a single device dispatch with no host round trips (steps
-    past ``t_end`` become dt=0 no-ops via the clamp)."""
-    inner = make_step(grid, cfg).__wrapped__
+    past ``t_end`` become dt=0 no-ops via the clamp). ``mesh``: see
+    make_step — the multi-chip production runner."""
+    inner = make_step(grid, cfg, mesh=mesh).__wrapped__
 
     @jax.jit
     def run_n(state: TwoPhaseState, t_end) -> TwoPhaseState:
