@@ -543,6 +543,41 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
         cur = nxt if nxt is not None else galerkin_closed(cur, tr, shape)
 
 
+def cast_hierarchy(levels: list[BoxLevel], dtype) -> list[BoxLevel]:
+    """Cast a built hierarchy's STORAGE to ``dtype`` (e.g. bf16 — half the
+    V-cycle's HBM traffic) while keeping its full-precision build quality:
+    the Galerkin RAP products and transfer weights are computed in the
+    build dtype (f32, including the fused Pallas RAP path) and rounded
+    ONCE, instead of compounding rounding level over level by building in
+    the narrow dtype. The packed fused-kernel operands (tr_fine, banded,
+    tail) are re-derived in the new dtype — their band layout is dtype-
+    dependent (sublane tile 16 vs 8). The dense coarse inverse stays in
+    f32 (see _dense_coarse_inverse) and is built here from the ORIGINAL
+    full-precision coarsest operator if the (dtype-gated) tail no longer
+    covers it."""
+    import dataclasses as dc
+
+    def cast_struct(s):
+        if s is None:
+            return None
+        return dc.replace(s, **{
+            f.name: getattr(s, f.name).astype(dtype) for f in dc.fields(s)
+        })
+
+    out = [
+        BoxLevel(op=cast_struct(l.op), red=l.red.astype(dtype),
+                 tr=cast_struct(l.tr), coarse_inv=l.coarse_inv)
+        for l in levels
+    ]
+    out = _attach_fused_vcycle(out)
+    if all(l.tail is None for l in out) and out[-1].coarse_inv is None:
+        shape = out[-1].op.aC.shape
+        if (min(shape) <= DIRECT_COARSEST
+                and shape[0] * shape[1] <= DIRECT_CAP):
+            out[-1].coarse_inv = _dense_coarse_inverse(levels[-1].op)
+    return out
+
+
 def _attach_fused_vcycle(levels):
     """Post-pass for the fused Pallas V-cycle (FS_PALLAS_VCYCLE=1, TPU,
     single device): attach the coarse-tail mega-kernel pack at the first

@@ -47,18 +47,26 @@ def build_precond_levels(op: StencilOp, precond: str, precond_dtype=None):
         mg_impl = mg_mod
     else:
         return None
+    # always build under jit: inside a jitted solver this inlines, and the
+    # eager path (trace-time constant builds, tests) avoids an XLA:CPU
+    # heap-corruption bug hit by the boxmg setup's eager op-by-op dispatch
+    import jax
+
     if precond_dtype is not None and precond_dtype != op.aC.dtype:
+        if precond == "boxmg":
+            # build at FULL precision (fused f32 RAP path, no per-level
+            # rounding compounding), then cast the hierarchy's storage —
+            # see boxmg.cast_hierarchy
+            return jax.jit(
+                lambda o: mg_impl.cast_hierarchy(
+                    mg_impl.build_hierarchy(o), precond_dtype)
+            )(op)
         import dataclasses as _dc
 
         op = _dc.replace(
             op, **{f.name: getattr(op, f.name).astype(precond_dtype)
                    for f in _dc.fields(op)}
         )
-    # always build under jit: inside a jitted solver this inlines, and the
-    # eager path (trace-time constant builds, tests) avoids an XLA:CPU
-    # heap-corruption bug hit by the boxmg setup's eager op-by-op dispatch
-    import jax
-
     return jax.jit(mg_impl.build_hierarchy)(op)
 
 

@@ -109,13 +109,20 @@ def _apply_coefs(coefs, x):
 
 
 def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
-                 ncoef, M, B, H, W, dtype):
+                 ncoef, M, B, H, W, dtype, A):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_in = ncoef + 1 + (1 if has_x0 else 0) + (2 if has_tr else 0) \
         + (1 if has_corr else 0)
     n_out = 2 if (residual or restrict) else 1
+    # storage dtype may be narrow (bf16: half the HBM traffic); arithmetic
+    # runs in >= f32 — Mosaic's bf16 vector-op coverage is partial (the
+    # original all-bf16 kernel crashed), while bf16<->f32 converts are the
+    # standard matmul-input path. The f32 compute also keeps the smoother's
+    # contraction close to the f32 hierarchy's. f32/f64 (interpret-mode)
+    # storage computes in its own dtype — bit-exact vs the XLA sweeps.
+    cdt = jnp.promote_types(dtype, jnp.float32)
 
     def kernel(*refs):
         # separate 2D scratch buffers per array: indexing one 3D VMEM slab
@@ -128,10 +135,11 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
         sem_out = refs[-1]
 
         band = pl.program_id(0)
-        # the wrapper zero-pads 8 rows on TOP as well, so band k's window
-        # is statically rows [kB, kB + B + 16) with its interior at local
-        # [8, 8+B) — no clamping, and the interior offset is static
-        start = pl.multiple_of(band * B, 8)
+        # the wrapper zero-pads A rows on TOP as well, so band k's window
+        # is statically rows [kB, kB + B + 2A) with its interior at local
+        # [A, A+B) — no clamping, and the interior offset is static
+        # (A = sublane tile: 8 for f32, 16 for bf16)
+        start = pl.multiple_of(band * B, A)
 
         dmas = [
             pltpu.make_async_copy(
@@ -144,22 +152,23 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
         for d in dmas:
             d.wait()
 
-        coefs = tuple(scratch[i][:] for i in range(ncoef))
+        coefs = tuple(scratch[i][:].astype(cdt) for i in range(ncoef))
         aC = coefs[0]
-        b = scratch[ncoef][:]
+        b = scratch[ncoef][:].astype(cdt)
         k = ncoef + 1
-        x = scratch[k][:] if has_x0 else jnp.zeros((W, M), dtype)
+        x = scratch[k][:].astype(cdt) if has_x0 else jnp.zeros((W, M), cdt)
         k += 1 if has_x0 else 0
         if has_tr:
-            pU, pV = scratch[k][:], scratch[k + 1][:]
+            pU = scratch[k][:].astype(cdt)
+            pV = scratch[k + 1][:].astype(cdt)
             k += 2
         if has_corr:
-            e = scratch[k][:]
+            e = scratch[k][:].astype(cdt)
 
         sh = _shift_in
         ii = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + start
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
-        red = (((ii + jj) % 2) == 0).astype(dtype)
+        red = (((ii + jj) % 2) == 0).astype(cdt)
         aC_safe = jnp.where(aC == 0.0, 1.0, aC)
 
         if has_corr:
@@ -188,10 +197,10 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
             mask = red if want_red else 1.0 - red
             x = jnp.where(mask > 0.5, x_new, x)
 
-        # write each band's interior rows [8, 8+B) only — a static
-        # 8-aligned sublane slice — so the wrapper's extraction is a single
-        # reshape instead of per-band slices + concatenate
-        out_buf[0][:] = x[8:8 + B]
+        # write each band's interior rows [A, A+B) only — a static
+        # tile-aligned sublane slice — so the wrapper's extraction is a
+        # single reshape instead of per-band slices + concatenate
+        out_buf[0][:] = x[A:A + B].astype(dtype)
         if residual or restrict:
             r = b - _apply_coefs(coefs, x)
             if restrict:
@@ -211,7 +220,7 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
                     + sh(sh(pV, 0, -1) * r, 1, -1)
                     + sh(sh(pV, -1, -1) * r, -1, -1)
                 )
-            out_buf[1][:] = r[8:8 + B]
+            out_buf[1][:] = r[A:A + B].astype(dtype)
 
         outs_dma = [
             pltpu.make_async_copy(
@@ -227,13 +236,20 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
     return kernel, n_in, n_out
 
 
+def _sublane(itemsize) -> int:
+    """Sublane tile for the dtype: DMA row offsets/lengths and in-kernel
+    sublane slices must be multiples of this (f32: 8, bf16: 16)."""
+    return 16 if itemsize == 2 else 8
+
+
 def _pick_band(N_pad, M, n_arrays, itemsize, H):
+    A = _sublane(itemsize)
     B = 512
-    while B > 8:
+    while B > A:
         if B < N_pad and (B + 2 * H) * M * (n_arrays + 2) * itemsize < VMEM_BUDGET_BYTES:
             return B
         B //= 2
-    return 8
+    return A
 
 
 # worst-case operand count / halo across all fused_smooth variants: the
@@ -247,18 +263,21 @@ def band_layout(N, M, itemsize):
     """(B, n_bands, N_total, M_pad) of the band layout for an (N, M) level —
     variant-independent (worst-case VMEM estimate), so one padded copy of a
     loop-invariant operand serves every fused_smooth call on the level."""
+    A = _sublane(itemsize)
     M_pad = -(-M // 128) * 128
     B = _pick_band(N + 2 * _MAX_H, M_pad, _MAX_ARRAYS, itemsize, _MAX_H)
     n_bands = -(-N // B)
-    return B, n_bands, n_bands * B + 16, M_pad
+    return B, n_bands, n_bands * B + 2 * A, M_pad
 
 
 def band_pad(a, N, M):
     """Pad one operand of an (N, M)-shaped level to the band layout (rows
-    [8, 8+rows) hold the data; pack_transfer planes may be one row/col
+    [A, A+rows) hold the data; pack_transfer planes may be one row/col
     taller than (N, M) for odd N — the layout always has room)."""
-    _, _, N_total, M_pad = band_layout(N, M, jnp.dtype(a.dtype).itemsize)
-    return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+    itemsize = jnp.dtype(a.dtype).itemsize
+    A = _sublane(itemsize)
+    _, _, N_total, M_pad = band_layout(N, M, itemsize)
+    return jnp.pad(a, ((A, N_total - A - a.shape[0]),
                        (0, M_pad - a.shape[1])))
 
 
@@ -284,9 +303,13 @@ def pack_banded(op, tr_fine=None):
 
 
 def available(shape, dtype) -> bool:
-    """Shape qualifies for the banded kernel (needs >= 2 bands of 8);
-    f64 (emulated on TPU) is rejected — Mosaic has no 8-byte float."""
-    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+    """Shape qualifies for the banded kernel (needs >= 2 bands); f32 and
+    bf16 are supported (bf16 storage, f32 in-kernel compute — see
+    _make_kernel); f64 (emulated on TPU) is rejected — Mosaic has no
+    8-byte float."""
+    if dtype is not None and jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+    ):
         return False
     return shape[0] >= 32 and shape[1] >= 2
 
@@ -327,19 +350,21 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     # aC=0 (inert: their updates read b=0 -> x stays 0, matching XLA's
     # zero-fill shifts at the true boundary). The layout is variant-
     # independent (band_layout) so pack_banded operands fit every call.
-    B, n_bands, N_total, M_pad = band_layout(N, M, jnp.dtype(dtype).itemsize)
-    # fixed 8-row halo on both sides (covers any H <= 8) keeps every DMA
-    # start and slice length provably 8-aligned for Mosaic; data sits at
-    # rows [8, 8+N) so every band window is statically rows [kB, kB+B+16)
-    assert H <= 8
-    W = B + 16
+    itemsize = jnp.dtype(dtype).itemsize
+    A = _sublane(itemsize)
+    B, n_bands, N_total, M_pad = band_layout(N, M, itemsize)
+    # fixed A-row halo on both sides (covers any H <= A) keeps every DMA
+    # start and slice length provably tile-aligned for Mosaic; data sits at
+    # rows [A, A+N) so every band window is statically rows [kB, kB+B+2A)
+    assert H <= A
+    W = B + 2 * A
 
     def pad_rows(a):
-        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+        return jnp.pad(a, ((A, N_total - A - a.shape[0]),
                            (0, M_pad - a.shape[1])))
     kernel, n_in, n_out = _make_kernel(
         tuple(colors), residual, has_x0, has_tr, has_corr, restrict,
-        ncoef, M_pad, B, H, W, dtype
+        ncoef, M_pad, B, H, W, dtype, A
     )
 
     # explicit HBM: ANY may place small operands in VMEM, where the

@@ -166,6 +166,88 @@ def test_v_cycle_fused_transfers_wiring(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_banded), np.asarray(got))
 
 
+def test_fused_smooth_bf16_storage_f32_compute():
+    # bf16 hierarchy support (FS_PRECOND_DTYPE=bfloat16 under the fused
+    # kernels): operands stored in bf16 (half the HBM traffic), ALL
+    # in-kernel arithmetic in f32. Oracle: "upcast operands to f32, run the
+    # XLA sweeps, downcast the outputs" — matched to one bf16 ulp (the
+    # oracle's arithmetic order differs at the last f32 bit, which can flip
+    # a downcast rounding tie).
+    import dataclasses as dc
+
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    boxmg, level, b, x0 = _boxmg_level(62, 62, seed=37)
+    to16 = lambda a: a.astype(jnp.bfloat16)
+    op16 = dc.replace(level.op, **{
+        f.name: to16(getattr(level.op, f.name))
+        for f in dc.fields(level.op)})
+    op32 = dc.replace(op16, **{
+        f.name: getattr(op16, f.name).astype(jnp.float32)
+        for f in dc.fields(op16)})
+    lvl32 = boxmg.BoxLevel(
+        op=op32, red=boxmg._checkerboard(op32.aC.shape, jnp.float32),
+        tr=None)
+    b16, x016 = to16(b), to16(x0)
+
+    assert pv.available(b16.shape, b16.dtype)
+
+    x_ref = x016.astype(jnp.float32)
+    for _ in range(2):
+        x_ref = boxmg._rb_sweep(lvl32, x_ref, b16.astype(jnp.float32))
+    r_ref = b16.astype(jnp.float32) - linsys.apply_op(op32, x_ref)
+    x, r = pv.fused_smooth(
+        op16, b16, x0=x016, colors=(True, False, True, False),
+        residual=True, interpret=True)
+    assert x.dtype == jnp.bfloat16 and r.dtype == jnp.bfloat16
+    # oracle arithmetic order may differ from the kernel's at the last f32
+    # bit; one bf16 ulp (2^-8) of slack absorbs downcast rounding ties
+    np.testing.assert_allclose(np.asarray(x, np.float32),
+                               np.asarray(to16(x_ref), np.float32),
+                               rtol=2**-8, atol=2**-8)
+    np.testing.assert_allclose(np.asarray(r, np.float32),
+                               np.asarray(to16(r_ref), np.float32),
+                               rtol=2**-8, atol=2**-8)
+
+    # transfer-fused variants in bf16: restrict epilogue + correction
+    # prologue against the f32-compute oracle
+    tr16 = dc.replace(level.tr, **{
+        f.name: to16(getattr(level.tr, f.name))
+        for f in dc.fields(level.tr)})
+    tr32 = dc.replace(tr16, **{
+        f.name: getattr(tr16, f.name).astype(jnp.float32)
+        for f in dc.fields(tr16)})
+    planes16 = pv.pack_transfer(tr16, op16.aC.shape)
+    banded16 = pv.pack_banded(op16, planes16)
+
+    x_ref = jnp.zeros_like(b, jnp.float32)
+    x_ref = boxmg._rb_sweep(lvl32, x_ref, b16.astype(jnp.float32))
+    r_ref = b16.astype(jnp.float32) - linsys.apply_op(op32, x_ref)
+    bc_ref = boxmg.restrict_box(tr32, r_ref)
+    x, bc = pv.fused_smooth(
+        op16, b16, colors=(True, False), tr_planes=planes16,
+        restrict=True, banded=banded16, interpret=True)
+    np.testing.assert_allclose(np.asarray(x, np.float32),
+                               np.asarray(to16(x_ref), np.float32),
+                               rtol=2**-8, atol=2**-8)
+    np.testing.assert_allclose(np.asarray(bc, np.float32),
+                               np.asarray(to16(bc_ref), np.float32),
+                               rtol=2**-8, atol=2**-7)
+
+    Nc, Mc = level.tr.pW.shape
+    ec16 = to16(jnp.asarray(np.random.default_rng(41).normal(size=(Nc, Mc))))
+    x_ref = x016.astype(jnp.float32) + boxmg.prolong_box(
+        tr32, ec16.astype(jnp.float32), b.shape)
+    x_ref = boxmg._rb_sweep(lvl32, x_ref, b16.astype(jnp.float32),
+                            reverse=True)
+    x = pv.fused_smooth(
+        op16, b16, x0=x016, colors=(False, True), tr_planes=planes16,
+        ec=ec16, banded=banded16, interpret=True)
+    np.testing.assert_allclose(np.asarray(x, np.float32),
+                               np.asarray(to16(x_ref), np.float32),
+                               rtol=2**-8, atol=2**-8)
+
+
 def test_fused_smooth_banded_parity():
     # banded= pre-padded operands produce bit-identical results in every
     # call variant (restrict epilogue, correction prologue, plain residual)
