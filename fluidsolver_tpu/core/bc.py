@@ -20,7 +20,7 @@ from typing import Callable, Union
 
 import jax.numpy as jnp
 
-from fluidsolver_tpu.core.fields import row_set
+from fluidsolver_tpu.core.fields import col_set, row_set
 from fluidsolver_tpu.core.grid import Grid
 
 BCValue = Union[float, Callable]
@@ -135,40 +135,40 @@ def apply_velocity_bcs(U: jnp.ndarray, V: jnp.ndarray, grid: Grid, bcs: FlowBCs,
     if isinstance(b, Dirichlet):
         ubc = _eval(b.u, xf, t)
         vbc = _eval(b.v, xm, t)
-        U = U.at[:, 0].set(2.0 * ubc - U[:, 1])
-        V = V.at[:, 0].set(vbc).at[:, 1].set(vbc)
+        U = col_set(U, 0, 2.0 * ubc - U[:, 1])
+        V = col_set(col_set(V, 0, vbc), 1, vbc)
     elif isinstance(b, Neumann):
-        U = U.at[:, 0].set(U[:, 1])
+        U = col_set(U, 0, U[:, 1])
         g = jnp.minimum(V[:, 1], 0.0) if b.clipped else V[:, 1]
-        V = V.at[:, 0].set(g)
+        V = col_set(V, 0, g)
     elif isinstance(b, Periodic):
-        U = U.at[:, 0].set(U[:, ny])
-        V = V.at[:, 0].set(V[:, ny])
+        U = col_set(U, 0, U[:, ny])
+        V = col_set(V, 0, V[:, ny])
     elif isinstance(b, Symmetry):
-        U = U.at[:, 0].set(U[:, 1])
-        V = V.at[:, 0].set(-V[:, 2]).at[:, 1].set(0.0)
+        U = col_set(U, 0, U[:, 1])
+        V = col_set(col_set(V, 0, -V[:, 2]), 1, 0.0)
 
     # ---- TOP (y = y_max) ----------------------------------------------------
     b = bcs.top
     if isinstance(b, Dirichlet):
         ubc = _eval(b.u, xf, t)
         vbc = _eval(b.v, xm, t)
-        U = U.at[:, ny + 1].set(2.0 * ubc - U[:, ny])
-        V = V.at[:, ny + 1].set(vbc).at[:, ny + 2].set(vbc)
+        U = col_set(U, ny + 1, 2.0 * ubc - U[:, ny])
+        V = col_set(col_set(V, ny + 1, vbc), ny + 2, vbc)
     elif isinstance(b, Neumann):
-        U = U.at[:, ny + 1].set(U[:, ny])
+        U = col_set(U, ny + 1, U[:, ny])
         g = jnp.maximum(V[:, ny + 1], 0.0) if b.clipped else V[:, ny + 1]
-        V = V.at[:, ny + 2].set(g)
+        V = col_set(V, ny + 2, g)
     elif isinstance(b, Periodic):
-        U = U.at[:, ny + 1].set(U[:, 1])
-        V = V.at[:, ny + 2].set(V[:, 2])
+        U = col_set(U, ny + 1, U[:, 1])
+        V = col_set(V, ny + 2, V[:, 2])
         if isinstance(bcs.bottom, Periodic):
             # shared-face reconciliation; see the right/left Periodic branch
             shared = 0.5 * (V[:, 1] + V[:, ny + 1])
-            V = V.at[:, 1].set(shared).at[:, ny + 1].set(shared)
+            V = col_set(col_set(V, 1, shared), ny + 1, shared)
     elif isinstance(b, Symmetry):
-        U = U.at[:, ny + 1].set(U[:, ny])
-        V = V.at[:, ny + 2].set(-V[:, ny]).at[:, ny + 1].set(0.0)
+        U = col_set(U, ny + 1, U[:, ny])
+        V = col_set(col_set(V, ny + 2, -V[:, ny]), ny + 1, 0.0)
 
     return U, V
 
@@ -178,8 +178,8 @@ def apply_neumann_scalar(f: jnp.ndarray) -> jnp.ndarray:
     (corner semantics match src/BoundaryConditions.hpp:227-252)."""
     f = row_set(f, 0, f[1, :])
     f = row_set(f, -1, f[-2, :])
-    f = f.at[:, 0].set(f[:, 1])
-    f = f.at[:, -1].set(f[:, -2])
+    f = col_set(f, 0, f[:, 1])
+    f = col_set(f, -1, f[:, -2])
     return f
 
 
@@ -187,6 +187,6 @@ def apply_dirichlet_scalar(f: jnp.ndarray, value) -> jnp.ndarray:
     """Ghost ring := constant value (src/BoundaryConditions.hpp:255-280)."""
     f = row_set(f, 0, value)
     f = row_set(f, -1, value)
-    f = f.at[:, 0].set(value)
-    f = f.at[:, -1].set(value)
+    f = col_set(f, 0, value)
+    f = col_set(f, -1, value)
     return f

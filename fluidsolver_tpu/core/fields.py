@@ -42,6 +42,38 @@ def row_set(f: jnp.ndarray, i: int, value) -> jnp.ndarray:
     return jnp.where(ii == i, value, f)
 
 
+def col_set(f: jnp.ndarray, j: int, value) -> jnp.ndarray:
+    """``f.at[:, j].set(value)`` — iota+where (see row_set: scatter/DUS
+    forms partition poorly or incorrectly under GSPMD)."""
+    m = f.shape[1]
+    j = j % m
+    jj = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+    value = jnp.asarray(value, f.dtype)
+    if value.ndim == 1:
+        value = value[:, None]
+    return jnp.where(jj == j, value, f)
+
+
+def set_interior(f: jnp.ndarray, interior: jnp.ndarray) -> jnp.ndarray:
+    """``f.at[1:-1, 1:-1].set(interior)`` — iota+where+pad, scatter-free.
+
+    The scatter that the ``.at`` form emits makes GSPMD all-gather the
+    full global array on every device (measured: the flagged full-field
+    all-gathers in tools/collective_census.py all came from interior
+    scatters); the pad+where form partitions elementwise."""
+    n, m = f.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+    inside = (ii > 0) & (ii < n - 1) & (jj > 0) & (jj < m - 1)
+    return jnp.where(inside, jnp.pad(interior, ((1, 1), (1, 1))), f)
+
+
+def add_interior(f: jnp.ndarray, interior: jnp.ndarray) -> jnp.ndarray:
+    """``f.at[1:-1, 1:-1].add(interior)`` — pad+add, scatter-free
+    (see set_interior). Exact: the ghost ring adds zero."""
+    return f + jnp.pad(interior, ((1, 1), (1, 1)))
+
+
 def row_add(f: jnp.ndarray, i: int, value) -> jnp.ndarray:
     """``f.at[i, :].add(value)`` — shard-safe (see row_set)."""
     n = f.shape[0]

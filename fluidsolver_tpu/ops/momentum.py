@@ -206,10 +206,13 @@ def mix_rho_staggered(vf: jnp.ndarray, rho_gas: float, rho_liquid: float, rho_u,
     from fluidsolver_tpu.core.bc import apply_neumann_scalar
 
     rho_c = vf * rho_liquid + (1.0 - vf) * rho_gas
-    rho_u = rho_u.at[1:-1, 1:-1].set(0.5 * (rho_c[:-1, :] + rho_c[1:, :])[:, 1:-1])
-    rho_u = apply_neumann_scalar(rho_u)
-    rho_v = rho_v.at[1:-1, 1:-1].set(0.5 * (rho_c[:, :-1] + rho_c[:, 1:])[1:-1, :])
-    rho_v = apply_neumann_scalar(rho_v)
+    # pad (not .at[].set): the Neumann fill rewrites the whole ghost ring
+    # anyway, and interior scatters force GSPMD full-field all-gathers
+    # (core/fields.set_interior)
+    rho_u = apply_neumann_scalar(jnp.pad(
+        0.5 * (rho_c[:-1, :] + rho_c[1:, :])[:, 1:-1], ((1, 1), (1, 1))))
+    rho_v = apply_neumann_scalar(jnp.pad(
+        0.5 * (rho_c[:, :-1] + rho_c[:, 1:])[1:-1, :], ((1, 1), (1, 1))))
     return rho_u, rho_v
 
 
@@ -240,8 +243,9 @@ def calc_pressure_jump(vf, curv, interface_length, sigma: float, dx: float, dy: 
     curv_face = jnp.where(
         total > 0.0, (curv[1:, 1:-1] * lp + curv[:-1, 1:-1] * lm) / jnp.where(total > 0.0, total, 1.0), 0.0
     )
-    p_jump_u = jnp.zeros_like(p_jump_u).at[1:-1, 1:-1].set(
-        sigma * curv_face * (vf[1:, 1:-1] - vf[:-1, 1:-1]) / dx
+    p_jump_u = jnp.pad(
+        sigma * curv_face * (vf[1:, 1:-1] - vf[:-1, 1:-1]) / dx,
+        ((1, 1), (1, 1)),
     )
 
     lm = interface_length[1:-1, :-1]
@@ -250,8 +254,9 @@ def calc_pressure_jump(vf, curv, interface_length, sigma: float, dx: float, dy: 
     curv_face = jnp.where(
         total > 0.0, (curv[1:-1, 1:] * lp + curv[1:-1, :-1] * lm) / jnp.where(total > 0.0, total, 1.0), 0.0
     )
-    p_jump_v = jnp.zeros_like(p_jump_v).at[1:-1, 1:-1].set(
-        sigma * curv_face * (vf[1:-1, 1:] - vf[1:-1, :-1]) / dy
+    p_jump_v = jnp.pad(
+        sigma * curv_face * (vf[1:-1, 1:] - vf[1:-1, :-1]) / dy,
+        ((1, 1), (1, 1)),
     )
     return p_jump_u, p_jump_v
 
@@ -281,17 +286,17 @@ def calc_surface_tension_force(rec_nx, rec_ny, valid, sigma: float, f_sigma_u, f
     both = valid[:-1, 1:-1] & valid[1:, 1:-1]
     t_left = jnp.where(tx[:-1, 1:-1] > 0.0, -tx[:-1, 1:-1], tx[:-1, 1:-1])
     t_right = jnp.where(tx[1:, 1:-1] < 0.0, -tx[1:, 1:-1], tx[1:, 1:-1])
-    f_sigma_u = jnp.zeros_like(f_sigma_u).at[1:-1, 1:-1].set(
-        jnp.where(both, sigma * (t_right - t_left), 0.0)
-    )
+    f_sigma_u = jnp.pad(
+        jnp.where(both, sigma * (t_right - t_left), 0.0), ((1, 1), (1, 1))
+    ).astype(f_sigma_u.dtype)
 
     # V faces: y-component of (top tangent - bottom tangent)
     both = valid[1:-1, :-1] & valid[1:-1, 1:]
     t_bot = jnp.where(ty[1:-1, :-1] > 0.0, -ty[1:-1, :-1], ty[1:-1, :-1])
     t_top = jnp.where(ty[1:-1, 1:] < 0.0, -ty[1:-1, 1:], ty[1:-1, 1:])
-    f_sigma_v = jnp.zeros_like(f_sigma_v).at[1:-1, 1:-1].set(
-        jnp.where(both, sigma * (t_top - t_bot), 0.0)
-    )
+    f_sigma_v = jnp.pad(
+        jnp.where(both, sigma * (t_top - t_bot), 0.0), ((1, 1), (1, 1))
+    ).astype(f_sigma_v.dtype)
     return f_sigma_u, f_sigma_v
 
 

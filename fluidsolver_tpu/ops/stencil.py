@@ -10,6 +10,7 @@ V (nx+2, ny+3); interior = [1:-1, 1:-1].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -139,6 +140,78 @@ def sample_centered_stack(fields, x0, dx: float, y0, dy: float, px, py):
     J = jnp.stack([jp, jp, jnx, jnx]) + 1
     f = fields[:, I, J]                         # (F, 4) + px.shape
     f00, f10, f01, f11 = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
+
+    xi = px - (x0 + ip * dx)
+    eta = py - (y0 + jp * dy)
+    a = (f10 - f00) / dx * xi + f00
+    b = (f11 - f01) / dx * xi + f01
+    return (b - a) / dy * eta + a
+
+
+def sample_centered_stack_lattice(fields, x0, dx: float, y0, dy: float,
+                                  px, py):
+    """``sample_centered_stack`` for a DENSE lattice of points: gather-free.
+
+    Shape contract: ``px.shape == (nx+1, ny+1)`` with ``fields`` of shape
+    ``(F, nx+2, ny+2)``, and point (I, J) lies within one cell of the
+    interior corner ``(x0 + (I - 0.5)*dx, y0 + (J - 0.5)*dy)`` — the
+    CFL-bounded RK backtrace guarantee (dt*|u| <= cfl*dx < dx,
+    ops/momentum.adjust_dt). Under that bound the bilinear corner indices
+    land in the STATIC window ``offset in [-2, 1]`` around each point's own
+    lattice position, so the 4 corner reads become 0/1-masked sums over 16
+    shifted views — bit-identical to the gather form (masks are exact and
+    disjoint), but with no gather: data-dependent gathers lower to
+    ~1000x-slower scalar loads on TPU and force GSPMD to all-gather the
+    full operand on a mesh (the [2,nx+2,ny+2] backtrace all-gather flagged
+    by tools/collective_census.py)."""
+    F, nx2, ny2 = fields.shape
+    nxi, nyi = nx2 - 2, ny2 - 2
+    npx, npy = px.shape
+    assert (npx, npy) == (nxi + 1, nyi + 1), (px.shape, fields.shape)
+
+    def indices(pos, g0, delta, n):
+        prev = jnp.floor((pos - g0) / delta).astype(jnp.int32)
+        nxt = jnp.floor((pos - g0) / delta + 1.0).astype(jnp.int32)
+        lo = (pos <= g0) | (prev < 0)
+        hi = (pos >= g0 + (n - 1) * delta) | (nxt >= n)
+        prev = jnp.where(lo, 0, jnp.where(hi, n - 1, prev))
+        nxt = jnp.where(lo, 0, jnp.where(hi, n - 1, nxt))
+        return prev, nxt
+
+    ip, inx = indices(px, x0, dx, nxi)
+    jp, jnx = indices(py, y0, dy, nyi)
+
+    # offsets relative to each point's own lattice index; the CFL bound +
+    # edge clamps keep them in [-2, 1] (clamp-to-0 at I<=1, clamp-to-n-1 at
+    # I>=n-1 both stay inside)
+    II = jax.lax.broadcasted_iota(jnp.int32, px.shape, 0)
+    JJ = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
+    opx, onx = ip - II, inx - II
+    opy, ony = jp - JJ, jnx - JJ
+
+    # view(a, b)[f, I, J] = fields[f, I + 1 + a, J + 1 + b] (zeros OOB; the
+    # masks never select an out-of-range row/col — corner indices are
+    # clamped to the interior)
+    padded = jnp.pad(fields, ((0, 0), (1, 1), (1, 1)))
+
+    def view(a, b):
+        return jax.lax.slice(
+            padded, (0, 2 + a, 2 + b), (F, 2 + a + npx, 2 + b + npy)
+        )
+
+    offs = (-2, -1, 0, 1)
+    zero = jnp.zeros((F,) + px.shape, fields.dtype)
+    f00 = f10 = f01 = f11 = zero
+    for a in offs:
+        col_p = col_n = zero
+        for b in offs:
+            v = view(a, b)
+            col_p = col_p + jnp.where(opy == b, v, 0)
+            col_n = col_n + jnp.where(ony == b, v, 0)
+        f00 = f00 + jnp.where(opx == a, col_p, 0)
+        f01 = f01 + jnp.where(opx == a, col_n, 0)
+        f10 = f10 + jnp.where(onx == a, col_p, 0)
+        f11 = f11 + jnp.where(onx == a, col_n, 0)
 
     xi = px - (x0 + ip * dx)
     eta = py - (y0 + jp * dy)

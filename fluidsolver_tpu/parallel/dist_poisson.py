@@ -348,7 +348,31 @@ def solve_pcg_sharded(mesh, op: StencilOp, b, *, tol, max_iter, singular,
     use_x0 = x0 is not None
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    op, b, x0 = _pad_operator(op, b, x0.astype(b.dtype), plan.NX)
+
+    # Pin P(AXIS) on BOTH sides of the row pad (nx2 -> NX changes the GSPMD
+    # tile, e.g. 9 -> 10 rows/device). Constrained pads lower to neighbor
+    # collective-permutes; unconstrained, GSPMD replicates every shard_map
+    # operand through a FULL-FIELD all-gather (7 per solve — the flagged
+    # rows in tools/collective_census.py before this fix).
+    from jax.sharding import NamedSharding
+
+    spec = NamedSharding(mesh, P(AXIS, None))
+
+    def pin(a):
+        # only under a trace: eager with_sharding_constraint device_puts,
+        # which rejects row counts not divisible by the mesh (the GSPMD
+        # compiler pads implicitly; the runtime cannot)
+        if isinstance(a, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(a, spec)
+        return a
+
+    op = StencilOp(aC=pin(op.aC), aL=pin(op.aL), aR=pin(op.aR),
+                   aB=pin(op.aB), aT=pin(op.aT))
+    b, x0 = pin(b), pin(x0.astype(b.dtype))
+    op, b, x0 = _pad_operator(op, b, x0, plan.NX)
+    op = StencilOp(aC=pin(op.aC), aL=pin(op.aL), aR=pin(op.aR),
+                   aB=pin(op.aB), aT=pin(op.aT))
+    b, x0 = pin(b), pin(x0)
 
     # jit is mandatory: an eager shard_map dispatches every primitive of the
     # hierarchy build as its own tiny 8-way sharded op (minutes of per-op
@@ -364,4 +388,6 @@ def solve_pcg_sharded(mesh, op: StencilOp, b, *, tol, max_iter, singular,
     ))
     x, rel, iters = fn(op.aC, op.aL, op.aR, op.aB, op.aT, b, x0,
                        jnp.asarray(use_x0), jnp.asarray(tol, b.dtype))
-    return x[: plan.nx2], rel, iters
+    # NX -> nx2 crop: constrained, this is one half-field subgroup gather
+    # (GSPMD can't prove the shrink is local); unconstrained it replicates.
+    return pin(pin(x)[: plan.nx2]), rel, iters

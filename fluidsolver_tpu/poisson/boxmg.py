@@ -165,6 +165,19 @@ def _pad_to(a, shape):
     return jnp.pad(a, ((0, shape[0] - a.shape[0]), (0, shape[1] - a.shape[1])))
 
 
+def stride2(a, i0=0, j0=0):
+    """``a[i0::2, j0::2]`` as a contiguous offset slice + ONE layout-change
+    reshape + static parity index. Stride-2 slices lower to catastrophic
+    gathers on TPU (PERF.md "stride-2 slices are TPU poison") and defeat
+    GSPMD partitioning — they were the source of the full-field all-gathers
+    tools/collective_census.py flagged in the sharded step's setup."""
+    a = a[i0:, j0:]
+    N, M = a.shape
+    n_out, m_out = (N + 1) // 2, (M + 1) // 2
+    a = jnp.pad(a, ((0, 2 * n_out - N), (0, 2 * m_out - M)))
+    return a.reshape(n_out, 2, m_out, 2)[:, 0, :, 0]
+
+
 def collapse_weights(op) -> BoxTransfer:
     """Operator-collapsed interpolation weights (Dendy 1982 eqs. 3.2-3.5).
 
@@ -199,23 +212,25 @@ def collapse_weights(op) -> BoxTransfer:
     nl = len(range(1, M, 2))  # number of odd-j cols
 
     def at(arr, rows, cols):
-        # arr[(odd i) + rows offset, (odd j) + cols offset] as a slice:
+        # arr[(odd i) + rows offset, (odd j) + cols offset]:
         # rows/cols in {-1, 0, +1} relative to the (odd, odd) lattice
-        r = arr[1 + rows::2][:nk]
-        return r[:, 1 + cols::2][:, :nl]
+        return stride2(arr, 1 + rows, 1 + cols)[:nk, :nl]
 
-    cden = _safe(c[1::2, 1::2])
-    vSW = asw[1::2, 1::2] + w[1::2, 1::2] * at(pSf, -1, 0) + s[1::2, 1::2] * at(pWf, 0, -1)
-    vSE = ase[1::2, 1::2] + e[1::2, 1::2] * at(pSf, +1, 0) + s[1::2, 1::2] * at(pEf, 0, -1)
-    vNW = anw[1::2, 1::2] + w[1::2, 1::2] * at(pNf, -1, 0) + n[1::2, 1::2] * at(pWf, 0, +1)
-    vNE = ane[1::2, 1::2] + e[1::2, 1::2] * at(pNf, +1, 0) + n[1::2, 1::2] * at(pEf, 0, +1)
+    def oo(arr):  # arr[(odd, odd)]
+        return stride2(arr, 1, 1)[:nk, :nl]
+
+    cden = _safe(oo(c))
+    vSW = oo(asw) + oo(w) * at(pSf, -1, 0) + oo(s) * at(pWf, 0, -1)
+    vSE = oo(ase) + oo(e) * at(pSf, +1, 0) + oo(s) * at(pEf, 0, -1)
+    vNW = oo(anw) + oo(w) * at(pNf, -1, 0) + oo(n) * at(pWf, 0, +1)
+    vNE = oo(ane) + oo(e) * at(pNf, +1, 0) + oo(n) * at(pEf, 0, +1)
 
     shape = (Nc, Mc)
     return BoxTransfer(
-        pW=_pad_to(pW_full[1::2, 0::2], shape),
-        pE=_pad_to(pE_full[1::2, 0::2], shape),
-        pS=_pad_to(pS_full[0::2, 1::2], shape),
-        pN=_pad_to(pN_full[0::2, 1::2], shape),
+        pW=_pad_to(stride2(pW_full, 1, 0), shape),
+        pE=_pad_to(stride2(pE_full, 1, 0), shape),
+        pS=_pad_to(stride2(pS_full, 0, 1), shape),
+        pN=_pad_to(stride2(pN_full, 0, 1), shape),
         pSW=_pad_to(-vSW / cden, shape),
         pSE=_pad_to(-vSE / cden, shape),
         pNW=_pad_to(-vNW / cden, shape),
@@ -246,10 +261,10 @@ def restrict_box(tr: BoxTransfer, r: jnp.ndarray) -> jnp.ndarray:
     N, M = r.shape
     Nc, Mc = (N + 1) // 2, (M + 1) // 2
     shape = (Nc, Mc)
-    inj = _pad_to(r[0::2, 0::2], shape)
-    X = _pad_to(r[1::2, 0::2], shape)   # x-edge values, index (k, l)
-    Y = _pad_to(r[0::2, 1::2], shape)
-    T = _pad_to(r[1::2, 1::2], shape)
+    inj = _pad_to(stride2(r, 0, 0), shape)
+    X = _pad_to(stride2(r, 1, 0), shape)   # x-edge values, index (k, l)
+    Y = _pad_to(stride2(r, 0, 1), shape)
+    T = _pad_to(stride2(r, 1, 1), shape)
 
     def shm(a, di, dj):
         # a[k - di, l - dj] with zero outside (gather "previous" entries)
@@ -380,7 +395,7 @@ def galerkin_closed(op, tr: BoxTransfer, fine_shape) -> Stencil9:
         key = (name, alpha, beta)
         if key not in fine_cache:
             a = fine_pad[name]
-            fine_cache[key] = a[2 + alpha::2][:Nc, 2 + beta::2][:, :Mc]
+            fine_cache[key] = stride2(a, 2 + alpha, 2 + beta)[:Nc, :Mc]
         return fine_cache[key]
 
     coarse_cache = {}

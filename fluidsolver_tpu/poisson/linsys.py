@@ -19,9 +19,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
-from fluidsolver_tpu.core.fields import register_pytree_dataclass, row_set
+from fluidsolver_tpu.core.fields import (col_set,
+                                           register_pytree_dataclass, row_set)
 
 # Dirichlet pinning side (reference: PSDirichlet, src/LinearSystem.hpp:10)
 PIN_NONE = None
@@ -66,10 +68,14 @@ def assemble_pressure_operator(
 
     # one-sided closure at the box edges: drop the outward coupling AND its
     # diagonal contribution (the reference adds neither).
-    edgeL = jnp.zeros_like(gL).at[1:, :].set(gL[1:, :])
-    edgeR = jnp.zeros_like(gR).at[:-1, :].set(gR[:-1, :])
-    edgeB = jnp.zeros_like(gB).at[:, 1:].set(gB[:, 1:])
-    edgeT = jnp.zeros_like(gT).at[:, :-1].set(gT[:, :-1])
+    # iota+where (not .at[].set): edge-row/col scatters force GSPMD
+    # full-field all-gathers (see core/fields.row_set)
+    ii = jax.lax.broadcasted_iota(jnp.int32, gL.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, gL.shape, 1)
+    edgeL = jnp.where(ii > 0, gL, 0.0)
+    edgeR = jnp.where(ii < gR.shape[0] - 1, gR, 0.0)
+    edgeB = jnp.where(jj > 0, gB, 0.0)
+    edgeT = jnp.where(jj < gT.shape[1] - 1, gT, 0.0)
 
     aC = edgeL + edgeR + edgeB + edgeT
     aL = -edgeL
@@ -94,13 +100,13 @@ def assemble_pressure_operator(
             aB = row_set(aB, -1, zero); aT = row_set(aT, -1, zero)
             aR = row_set(aR, -2, zero)
         elif pin == PIN_BOTTOM:
-            aC = aC.at[:, 0].set(one); aL = aL.at[:, 0].set(zero); aR = aR.at[:, 0].set(zero)
-            aB = aB.at[:, 0].set(zero); aT = aT.at[:, 0].set(zero)
-            aB = aB.at[:, 1].set(zero)
+            aC = col_set(aC, 0, one); aL = col_set(aL, 0, zero); aR = col_set(aR, 0, zero)
+            aB = col_set(aB, 0, zero); aT = col_set(aT, 0, zero)
+            aB = col_set(aB, 1, zero)
         elif pin == PIN_TOP:
-            aC = aC.at[:, -1].set(one); aL = aL.at[:, -1].set(zero); aR = aR.at[:, -1].set(zero)
-            aB = aB.at[:, -1].set(zero); aT = aT.at[:, -1].set(zero)
-            aT = aT.at[:, -2].set(zero)
+            aC = col_set(aC, -1, one); aL = col_set(aL, -1, zero); aR = col_set(aR, -1, zero)
+            aB = col_set(aB, -1, zero); aT = col_set(aT, -1, zero)
+            aT = col_set(aT, -2, zero)
         else:
             raise ValueError(f"unknown pin side: {pin}")
 
@@ -124,9 +130,9 @@ def build_pressure_rhs(
     elif pin == PIN_RIGHT:
         rhs = row_set(rhs, -1, 0.0)
     elif pin == PIN_BOTTOM:
-        rhs = rhs.at[:, 0].set(0.0)
+        rhs = col_set(rhs, 0, 0.0)
     elif pin == PIN_TOP:
-        rhs = rhs.at[:, -1].set(0.0)
+        rhs = col_set(rhs, -1, 0.0)
     elif pin is PIN_NONE:
         # Mean subtraction makes the singular all-Neumann system compatible
         # (sum(b) = 0). Whatever mean is absorbed here reappears verbatim as
@@ -149,7 +155,7 @@ def build_pressure_rhs(
         if periodic_x:
             rhs = row_set(row_set(rhs, 0, 0.0), -1, 0.0)
         if periodic_y:
-            rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
+            rhs = col_set(col_set(rhs, 0, 0.0), -1, 0.0)
         nx2, ny2 = rhs.shape
         n_support = (nx2 - 2 * periodic_x) * (ny2 - 2 * periodic_y)
         c = jnp.sum(rhs) / n_support
@@ -157,7 +163,7 @@ def build_pressure_rhs(
         if periodic_x:
             rhs = row_set(row_set(rhs, 0, 0.0), -1, 0.0)
         if periodic_y:
-            rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
+            rhs = col_set(col_set(rhs, 0, 0.0), -1, 0.0)
     else:
         raise ValueError(f"unknown pin side: {pin}")
     return rhs

@@ -162,11 +162,13 @@ def _fold_py(a):
 
 def restrict_bilinear(r: jnp.ndarray) -> jnp.ndarray:
     """4 * P_bilinear^T (zero-extend odd fine edges, then de-interleave)."""
+    from fluidsolver_tpu.poisson.boxmg import stride2
+
     r = _pad_even(r)
-    R00 = r[0::2, 0::2]
-    R10 = r[1::2, 0::2]
-    R01 = r[0::2, 1::2]
-    R11 = r[1::2, 1::2]
+    R00 = stride2(r, 0, 0)
+    R10 = stride2(r, 1, 0)
+    R01 = stride2(r, 0, 1)
+    R11 = stride2(r, 1, 1)
     out = _WC * (R00 + R10 + R01 + R11)
     out = out + _WE * (_fold_mx(R00 + R01) + _fold_px(R10 + R11))
     out = out + _WE * (_fold_my(R00 + R10) + _fold_py(R01 + R11))

@@ -149,10 +149,14 @@ def build_step_levels(rho_u, rho_v, grid: Grid, cfg: SolverConfig):
 def project_velocity(U, V, delta_p, rho_u, rho_v, dt, dx: float, dy: float):
     """U -= dt/rho * grad(delta_p) on interior faces
     (examples/TwoPhaseSolver.cpp:369-378)."""
+    from fluidsolver_tpu.core.fields import add_interior
+
+    # add_interior (pad+add), not .at[].add: interior scatters make GSPMD
+    # all-gather the full field (core/fields.set_interior)
     dpdx = (delta_p[1:, 1:-1] - delta_p[:-1, 1:-1]) / dx
-    U = U.at[1:-1, 1:-1].add(-dpdx * dt / rho_u[1:-1, 1:-1])
+    U = add_interior(U, -dpdx * dt / rho_u[1:-1, 1:-1])
     dpdy = (delta_p[1:-1, 1:] - delta_p[1:-1, :-1]) / dy
-    V = V.at[1:-1, 1:-1].add(-dpdy * dt / rho_v[1:-1, 1:-1])
+    V = add_interior(V, -dpdy * dt / rho_v[1:-1, 1:-1])
     return U, V
 
 
@@ -195,8 +199,10 @@ def make_step(grid: Grid, cfg: SolverConfig, ib=None, div_source=None):
         )
         if cfg.gravity != (0.0, 0.0):
             gx, gy = cfg.gravity
-            dmomU = dmomU.at[1:-1, 1:-1].add(gx * state.rho_u[1:-1, 1:-1])
-            dmomV = dmomV.at[1:-1, 1:-1].add(gy * state.rho_v[1:-1, 1:-1])
+            from fluidsolver_tpu.core.fields import add_interior
+
+            dmomU = add_interior(dmomU, gx * state.rho_u[1:-1, 1:-1])
+            dmomV = add_interior(dmomV, gy * state.rho_v[1:-1, 1:-1])
         if cfg.ib_mode == "luchini":
             from fluidsolver_tpu.ib import luchini
 

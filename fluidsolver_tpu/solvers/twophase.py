@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from fluidsolver_tpu.core import bc as bc_mod
-from fluidsolver_tpu.core.fields import register_pytree_dataclass
+from fluidsolver_tpu.core.fields import (add_interior,
+                                           register_pytree_dataclass)
 from fluidsolver_tpu.core.grid import Grid
 from fluidsolver_tpu.ops import momentum as mom
 from fluidsolver_tpu.ops import stencil
@@ -90,6 +91,13 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
     rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
     gx, gy = cfg.gravity
 
+    # Sparse VOF's global lane indices force GSPMD to all-gather full
+    # fields on every device (measured: tools/collective_census.py flagged
+    # 20 full-field all-gathers, all from the lane gather/scatter). The
+    # dense path is pure stencil math and partitions elementwise, so a
+    # mesh forces it; single-device keeps the sparse launch-count win.
+    vof_budget = 0 if mesh is not None else cfg.vof_max_active
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -141,10 +149,12 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
                 U, V, fs.rho_u_old, fs.rho_v_old, fs.visc, fs.p,
                 fs.p_jump_u, fs.p_jump_v, grid.dx, grid.dy, rho_eps,
             )
+            # add_interior (pad+add), not .at[].add: interior scatters make
+            # GSPMD all-gather the full field (core/fields.add_interior)
             if gx != 0.0:
-                dmomU = dmomU.at[1:-1, 1:-1].add(rho_u[1:-1, 1:-1] * gx)
+                dmomU = add_interior(dmomU, rho_u[1:-1, 1:-1] * gx)
             if gy != 0.0:
-                dmomV = dmomV.at[1:-1, 1:-1].add(rho_v[1:-1, 1:-1] * gy)
+                dmomV = add_interior(dmomV, rho_v[1:-1, 1:-1] * gy)
             U, V = mom.update_velocity(
                 fs.U_old, fs.V_old, fs.rho_u_old, fs.rho_v_old, rho_u, rho_v, dmomU, dmomV, dt, U, V
             )
@@ -167,12 +177,10 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
                 rec.nx, rec.ny, rec.valid, cfg.sigma, fs.p_jump_u, fs.p_jump_v
             )
             pj_u_new, pj_v_new = fs.p_jump_u, fs.p_jump_v
-            div = div.at[1:-1, 1:-1].add(
-                -dt * cfg.tangent_force_scale * (
-                    (fsu[2:-1, 1:-1] - fsu[1:-2, 1:-1]) / grid.dx
-                    + (fsv[1:-1, 2:-1] - fsv[1:-1, 1:-2]) / grid.dy
-                )
-            )
+            div = add_interior(div, -dt * cfg.tangent_force_scale * (
+                (fsu[2:-1, 1:-1] - fsu[1:-2, 1:-1]) / grid.dx
+                + (fsv[1:-1, 2:-1] - fsv[1:-1, 1:-2]) / grid.dy
+            ))
         else:
             # capillary forcing: pressure-jump increment folded into the RHS
             # (TwoPhaseSolver.cpp:322-346)
@@ -181,12 +189,10 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
             )
             dpj_u = pj_u_new - fs.p_jump_u
             dpj_v = pj_v_new - fs.p_jump_v
-            div = div.at[1:-1, 1:-1].add(
-                dt * (
-                    (dpj_u[2:-1, 1:-1] / rho_u[2:-1, 1:-1] - dpj_u[1:-2, 1:-1] / rho_u[1:-2, 1:-1]) / grid.dx
-                    + (dpj_v[1:-1, 2:-1] / rho_v[1:-1, 2:-1] - dpj_v[1:-1, 1:-2] / rho_v[1:-1, 1:-2]) / grid.dy
-                )
-            )
+            div = add_interior(div, dt * (
+                (dpj_u[2:-1, 1:-1] / rho_u[2:-1, 1:-1] - dpj_u[1:-2, 1:-1] / rho_u[1:-2, 1:-1]) / grid.dx
+                + (dpj_v[1:-1, 2:-1] / rho_v[1:-1, 2:-1] - dpj_v[1:-1, 1:-2] / rho_v[1:-1, 1:-2]) / grid.dy
+            ))
 
         if cfg.phase_change_mdot is not None:
             # expansion source on pure-liquid cells near the interface:
@@ -213,7 +219,7 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
                 / (grid.dx * grid.dy),
                 0.0,
             )
-            div = div.at[1:-1, 1:-1].add(-src)
+            div = add_interior(div, -src)
 
         fs = dataclasses.replace(fs, rho_u=rho_u, rho_v=rho_v, p_jump_u=pj_u_new, p_jump_v=pj_v_new)
         if levels_carry is not None:
@@ -268,7 +274,7 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
         vf_old = state.vf
 
         # reconstruct vf_old; rho from vf_old; rotate density
-        rec = plic.elvira(vf_old, grid.dx, grid.dy, max_mixed=cfg.vof_max_active)
+        rec = plic.elvira(vf_old, grid.dx, grid.dy, max_mixed=vof_budget)
         rho_u, rho_v = mom.mix_rho_staggered(vf_old, cfg.rho_gas, cfg.rho_liquid, fs.rho_u, fs.rho_v)
         fs = dataclasses.replace(fs, rho_u=rho_u, rho_v=rho_v, rho_u_old=rho_u, rho_v_old=rho_v)
 
@@ -296,7 +302,10 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
         Vi = stencil.interp_v_center(fs.V)
         vf, vol_err = adv.advect(
             vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt,
-            max_active=cfg.vof_max_active,
+            max_active=vof_budget,
+            pin=_constrain if mesh is not None else None,
+            no_correction=cfg.vof_no_correction,
+            staggered=cfg.vof_staggered_backtrace,
         )
         # a reconstruction lane overflow also invalidates the advection
         vol_err = jnp.where(rec.overflow, jnp.inf, vol_err)
@@ -318,7 +327,7 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
             curv = curvature_convolved_vf(vf_old, rec, grid)
         else:
             curv = curvature_quad_volume_matching(
-                vf_old, rec, grid, max_mixed=cfg.vof_max_active
+                vf_old, rec, grid, max_mixed=vof_budget
             )
         iface_len = plic.interface_length(rec, grid.dx, grid.dy)
 
@@ -373,7 +382,13 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
                 (f, dp0),
             )[0]
 
-        fs = jax.lax.cond(dt > 0.0, do_subiters, lambda f: f, fs)
+        # constrain BOTH branch outputs: if the branches disagree on
+        # shardings, GSPMD reconciles the cond's outputs by replicating
+        # them (measured: 5 full-field all-gathers at this merge,
+        # tools/collective_census.py)
+        fs = jax.lax.cond(dt > 0.0,
+                          lambda f: constrain_tree(do_subiters(f)),
+                          constrain_tree, fs)
 
         fs = dataclasses.replace(fs, t=fs.t + dt, dt=dt)
         return constrain_tree(TwoPhaseState(

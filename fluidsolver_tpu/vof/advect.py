@@ -45,26 +45,59 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from fluidsolver_tpu.core.fields import set_interior
 from fluidsolver_tpu.core.grid import Grid
-from fluidsolver_tpu.ops.stencil import sample_centered_stack
+from fluidsolver_tpu.ops.stencil import (sample_centered_stack,
+                                         sample_centered_stack_lattice)
 from fluidsolver_tpu.vof.plic import Plic, _NEIGHBOR_OFFSETS, _shift, clamp_lanes
 
 K = 16  # vertex buffer size: octagon (8) + 4 rect clips + PLIC clip <= 13
 
 
 # ---- point backtracking (src/VOF.hpp:66-85) -------------------------------
-def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt):
-    """RK4 backward trace through the cell-centered interpolated velocity."""
+def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt, lattice: bool = False):
+    """RK4 backward trace through the cell-centered interpolated velocity.
+
+    ``lattice=True``: the points are the full (nx+1, ny+1) interior corner
+    lattice (dense advection) — use the gather-free shifted-view sampler
+    (bit-identical; see stencil.sample_centered_stack_lattice)."""
     # Python floats (weak-typed), NOT numpy f64 scalars: under enabled x64 a
     # numpy scalar would promote the whole f32 backtrack (and hence vf) to f64
     x0 = float(grid.xm[1])
     y0 = float(grid.ym[1])
     # one gather per RK stage instead of eight (u+v, 4 corners each)
     UiVi = jnp.stack([Ui, Vi])
+    sample = sample_centered_stack_lattice if lattice else sample_centered_stack
 
     def vel(x, y):
-        uv = sample_centered_stack(UiVi, x0, grid.dx, y0, grid.dy, x, y)
+        uv = sample(UiVi, x0, grid.dx, y0, grid.dy, x, y)
         return uv[0], uv[1]
+
+    u1, v1 = vel(px, py)
+    u2, v2 = vel(px - 0.5 * dt * u1, py - 0.5 * dt * v1)
+    u3, v3 = vel(px - 0.5 * dt * u2, py - 0.5 * dt * v2)
+    u4, v4 = vel(px - dt * u3, py - dt * v3)
+    return (
+        px - dt / 6.0 * (u1 + 2.0 * u2 + 2.0 * u3 + u4),
+        py - dt / 6.0 * (v1 + 2.0 * v2 + 2.0 * v3 + v4),
+    )
+
+
+def backtrack_rk4_staggered(px, py, U, V, grid: Grid, dt):
+    """RK4 backward trace through the RAW STAGGERED velocity — the
+    ``FS_VOF_ADVECT_WITH_STAGGERED_VELOCITY`` A/B variant
+    (src/VOF.hpp:89-114 ``advect_point2``): u bilinear on the
+    (x-face, y-center) grid, v on the (x-center, y-face) grid, stage
+    displacements shared between the u and v samples exactly as upstream."""
+    from fluidsolver_tpu.ops.stencil import sample_centered
+
+    xf0, yc0 = float(grid.x[1]), float(grid.ym[1])
+    xc0, yf0 = float(grid.xm[1]), float(grid.y[1])
+
+    def vel(x, y):
+        u = sample_centered(U, xf0, grid.dx, yc0, grid.dy, x, y)
+        v = sample_centered(V, xc0, grid.dx, yf0, grid.dy, x, y)
+        return u, v
 
     u1, v1 = vel(px, py)
     u2, v2 = vel(px - 0.5 * dt * u1, py - 0.5 * dt * v1)
@@ -202,6 +235,22 @@ def _build_octagon(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
     return oct_x, oct_y, n8
 
 
+def _build_quad(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y, dtype):
+    """``VOF_NO_CORRECTION`` A/B variant (src/VOF.hpp:216-218, 237-248
+    compiled out): the advected cell is the PLAIN backtraced quadrilateral —
+    no flux-matched face caps, so the polygon volume is not reconciled with
+    the discrete face fluxes and the advection picks up an O(dt*div_h)
+    volume error per step. Kept for parity experiments; the corrected
+    octagon is the production path."""
+    quad_x = jnp.stack([a00x, a10x, a11x, a01x], axis=-1)
+    quad_y = jnp.stack([a00y, a10y, a11y, a01y], axis=-1)
+    pad = jnp.zeros(a00x.shape + (K - 4,), dtype)
+    quad_x = jnp.concatenate([quad_x, pad], axis=-1)
+    quad_y = jnp.concatenate([quad_y, pad], axis=-1)
+    n4 = jnp.full(a00x.shape, 4, jnp.int32)
+    return quad_x, quad_y, n4
+
+
 def _overlap_from_neighbors(oct_x, oct_y, n8, vf_nb, mixed, pnx, pny, pd,
                             x_lo, y_lo, dx, dy):
     """Sum of (octagon ∩ neighbor rect ∩ neighbor PLIC liquid) areas over the
@@ -252,7 +301,8 @@ def default_max_active(nx: int, ny: int) -> int:
     return min(nx * ny, max(4096, 16 * max(nx, ny)))
 
 
-def advect(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, max_active=None):
+def advect(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, max_active=None,
+           pin=None, no_correction: bool = False, staggered: bool = False):
     """One unsplit geometric advection of the VOF field.
 
     Returns (vf_new, max_volume_error). ``vf_old`` ghost values are kept
@@ -261,16 +311,31 @@ def advect(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, max_active=None):
     ``max_active``: lane budget of the sparse active-cell path (None = auto,
     ``default_max_active``); 0 = dense all-cells path. If the interface
     outgrows the budget the returned volume error is ``inf`` (loud failure;
-    raise the budget)."""
+    raise the budget).
+
+    ``pin``: optional array -> array sharding-constraint hook (the sharded
+    solver's ``_constrain``). Applied around the interior->full-box pad so
+    GSPMD lowers the shard-tile change to neighbor permutes instead of a
+    full-field all-gather (tools/collective_census.py).
+
+    A/B debug variants (reference compile-time flags, src/VOF.hpp:216-298):
+    ``no_correction`` = VOF_NO_CORRECTION (plain backtraced quad, no
+    flux-matched caps); ``staggered`` =
+    FS_VOF_ADVECT_WITH_STAGGERED_VELOCITY (RK4 through the raw staggered
+    velocity instead of the cell-centered interpolation)."""
     vf_old = jnp.asarray(vf_old)  # tolerate numpy input at the API boundary
     if max_active is None:
         max_active = default_max_active(grid.nx, grid.ny)
     if max_active:
-        return _advect_sparse(vf_old, rec, U, V, Ui, Vi, grid, dt, int(max_active))
-    return _advect_dense(vf_old, rec, U, V, Ui, Vi, grid, dt)
+        return _advect_sparse(vf_old, rec, U, V, Ui, Vi, grid, dt,
+                              int(max_active), no_correction=no_correction,
+                              staggered=staggered)
+    return _advect_dense(vf_old, rec, U, V, Ui, Vi, grid, dt, pin=pin,
+                         no_correction=no_correction, staggered=staggered)
 
 
-def _advect_dense(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt):
+def _advect_dense(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, pin=None,
+                  no_correction: bool = False, staggered: bool = False):
     """All-cells batch (the equivalence oracle for the sparse path)."""
     nx, ny = grid.nx, grid.ny
     dx, dy = grid.dx, grid.dy
@@ -280,7 +345,10 @@ def _advect_dense(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt):
     cx = jnp.asarray(grid.x[1:-1], dtype)
     cy = jnp.asarray(grid.y[1:-1], dtype)
     PX, PY = jnp.meshgrid(cx, cy, indexing="ij")
-    AX, AY = backtrack_rk4(PX, PY, Ui, Vi, grid, dt)
+    if staggered:
+        AX, AY = backtrack_rk4_staggered(PX, PY, U, V, grid, dt)
+    else:
+        AX, AY = backtrack_rk4(PX, PY, Ui, Vi, grid, dt, lattice=True)
 
     # per-cell corner positions in CELL-LOCAL coordinates (origin = cell's
     # lower-left corner) for precision
@@ -291,11 +359,15 @@ def _advect_dense(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt):
     a11x, a11y = AX[1:, 1:] - X0, AY[1:, 1:] - Y0
     a01x, a01y = AX[:-1, 1:] - X0, AY[:-1, 1:] - Y0
 
-    oct_x, oct_y, n8 = _build_octagon(
-        a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
-        U[1:-2, 1:-1], U[2:-1, 1:-1], V[1:-1, 1:-2], V[1:-1, 2:-1],
-        dx, dy, dt, dtype,
-    )
+    if no_correction:
+        oct_x, oct_y, n8 = _build_quad(
+            a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y, dtype)
+    else:
+        oct_x, oct_y, n8 = _build_octagon(
+            a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
+            U[1:-2, 1:-1], U[2:-1, 1:-1], V[1:-1, 1:-2], V[1:-1, 2:-1],
+            dx, dy, dt, dtype,
+        )
 
     oct_area = _poly_area(oct_x, oct_y, n8)
     cell_area = dx * dy
@@ -321,11 +393,23 @@ def _advect_dense(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt):
     vf_new = jnp.where(all_gas, 0.0, jnp.where(all_liq, 1.0, vf_new))
     volume_error = jnp.where(all_gas | all_liq, 0.0, volume_error)
 
-    vf_out = vf_old.at[1:-1, 1:-1].set(vf_new)
+    if pin is not None:
+        # pin BOTH sides of the (nx,ny)->(nx+2,ny+2) pad: the shard tile
+        # changes across it, and unconstrained GSPMD replicates (one
+        # full-field all-gather + DUS); constrained it permutes halos.
+        grown = pin(jnp.pad(pin(vf_new), ((1, 1), (1, 1))))
+        n, m = vf_old.shape
+        ii = jax.lax.broadcasted_iota(jnp.int32, vf_old.shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, vf_old.shape, 1)
+        inside = (ii > 0) & (ii < n - 1) & (jj > 0) & (jj < m - 1)
+        vf_out = pin(jnp.where(inside, grown, vf_old))
+    else:
+        vf_out = set_interior(vf_old, vf_new)
     return vf_out, jnp.max(volume_error)
 
 
-def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
+def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
+                   no_correction: bool = False, staggered: bool = False):
     """Active-cell path: gather the cells that need geometry into ``m``
     lanes, run the identical octagon/clip pipeline there, scatter back.
 
@@ -358,16 +442,24 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
     # 4 corners per lane: (m, 4) with order p00, p10, p11, p01
     px = jnp.stack([x_lo_c, x_hi_c, x_hi_c, x_lo_c], axis=-1)
     py = jnp.stack([y_lo_c, y_lo_c, y_hi_c, y_hi_c], axis=-1)
-    AX, AY = backtrack_rk4(px, py, Ui, Vi, grid, dt)
+    if staggered:
+        AX, AY = backtrack_rk4_staggered(px, py, U, V, grid, dt)
+    else:
+        AX, AY = backtrack_rk4(px, py, Ui, Vi, grid, dt)
     # cell-local coordinates (origin = lower-left corner)
     ax = AX - x_lo_c[:, None]
     ay = AY - y_lo_c[:, None]
 
-    oct_x, oct_y, n8 = _build_octagon(
-        ax[:, 0], ay[:, 0], ax[:, 1], ay[:, 1], ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3],
-        U[1 + iig, 1 + jjg], U[2 + iig, 1 + jjg], V[1 + iig, 1 + jjg], V[1 + iig, 2 + jjg],
-        dx, dy, dt, dtype,
-    )
+    if no_correction:
+        oct_x, oct_y, n8 = _build_quad(
+            ax[:, 0], ay[:, 0], ax[:, 1], ay[:, 1],
+            ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3], dtype)
+    else:
+        oct_x, oct_y, n8 = _build_octagon(
+            ax[:, 0], ay[:, 0], ax[:, 1], ay[:, 1], ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3],
+            U[1 + iig, 1 + jjg], U[2 + iig, 1 + jjg], V[1 + iig, 1 + jjg], V[1 + iig, 2 + jjg],
+            dx, dy, dt, dtype,
+        )
 
     oct_area = _poly_area(oct_x, oct_y, n8)
     cell_area = dx * dy
@@ -400,7 +492,7 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int):
     # ---- assemble: early exits dense, active lanes scattered ---------------
     vf_new = jnp.where(all_liq, 1.0, jnp.zeros((nx, ny), dtype))
     vf_new = vf_new.at[ii, jj].set(vf_act, mode="drop")
-    vf_out = vf_old.at[1:-1, 1:-1].set(vf_new)
+    vf_out = set_interior(vf_old, vf_new)
 
     lane_valid = jnp.arange(m) < n_active
     vol_err = jnp.max(jnp.where(lane_valid, volume_error, 0.0))

@@ -173,7 +173,7 @@ def _curvature_vm_dense(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -> jnp.ndarr
         for di, dj in _NEIGHBOR_OFFSETS
     }
     curv = _vm_core(nb, _shift(rec.nx, 0, 0), _shift(rec.ny, 0, 0), dx, dy, vf_old.dtype)
-    return jnp.zeros_like(vf_old).at[1:-1, 1:-1].set(curv)
+    return jnp.pad(curv, ((1, 1), (1, 1))).astype(vf_old.dtype)
 
 
 def _curvature_vm_sparse(vf_old: jnp.ndarray, rec: Plic, grid: Grid, m: int) -> jnp.ndarray:
@@ -260,7 +260,7 @@ def curvature_quad_regression(vf_old: jnp.ndarray, rec: Plic, grid: Grid) -> jnp
     curv = 2.0 * c2 / jnp.power(1.0 + first * first, 1.5)
     curv = jnp.where(jnp.isfinite(curv), curv, 0.0)
     curv = jnp.where(t_valid, curv, 0.0)
-    return jnp.zeros_like(vf_old).at[1:-1, 1:-1].set(curv)
+    return jnp.pad(curv, ((1, 1), (1, 1))).astype(vf_old.dtype)
 
 
 def curvature_convolved_vf(
@@ -293,7 +293,7 @@ def curvature_convolved_vf(
         interior[None, None], kerj[None, None],
         window_strides=(1, 1), padding="SAME",
     )[0, 0]
-    vf_smooth = jnp.zeros_like(vf_old).at[1:-1, 1:-1].set(smooth)
+    vf_smooth = jnp.pad(smooth, ((1, 1), (1, 1))).astype(vf_old.dtype)
 
     dvfdx, dvfdy = grad_centered(vf_smooth, dx, dy)
     dxx, dxy = grad_centered(dvfdx, dx, dy)

@@ -246,13 +246,14 @@ def _elvira_dense(vf: jnp.ndarray, dx: float, dy: float) -> Plic:
     # embed back into the full ghost box (ghost cells: no reconstruction,
     # mirroring the reference's interior-only ELVIRA loop)
     def embed(x, fill):
-        return jnp.full(vf.shape, fill, vf.dtype).at[1:-1, 1:-1].set(x)
+        return jnp.pad(x.astype(vf.dtype), ((1, 1), (1, 1)),
+                       constant_values=fill)
 
     return Plic(
         nx=embed(best_nx, 0.0),
         ny=embed(best_ny, 1.0),
         d=embed(best_d, 0.0),
-        valid=jnp.zeros(vf.shape, bool).at[1:-1, 1:-1].set(valid_int),
+        valid=jnp.pad(valid_int, ((1, 1), (1, 1))),
         overflow=jnp.zeros((), bool),
     )
 
@@ -316,7 +317,7 @@ def _elvira_sparse(vf: jnp.ndarray, dx: float, dy: float, m: int) -> Plic:
         nx=scatter(best_nx, 0.0),
         ny=scatter(best_ny, 1.0),
         d=scatter(best_d, 0.0),
-        valid=jnp.zeros(vf.shape, bool).at[1:-1, 1:-1].set(mixed_int),
+        valid=jnp.pad(mixed_int, ((1, 1), (1, 1))),
         overflow=n_mixed > m,
         lane_i=ii,
         lane_j=jj,

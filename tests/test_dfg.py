@@ -20,24 +20,39 @@ from fluidsolver_tpu.cases import dfg
 
 @pytest.mark.slow
 def test_dfg1_diffuse_ib_coefficients():
-    case = get_case("diffuse_ib_dfg", ny=64, benchmark=1)
+    """Diffuse (volume-penalty) IB pinned to the same ±10% literature band
+    as sharp IB (VERDICT r2 #6), using the full surface-stress evaluators.
+
+    Measured convergence (tools/dfg_diffuse_study.py, f32, t=1.5):
+        ny= 48: C_D(surf)=6.769  dp=0.1280
+        ny= 64: C_D(surf)=6.798  dp=0.1372
+        ny= 96: C_D(surf)=5.670  dp=0.1122   <- this test
+        ny=128: C_D(surf)=6.074  dp=0.1250
+    The trend is non-monotone — the smeared (one-cell-wide) solid boundary
+    makes the effective cylinder diameter oscillate with how the circle
+    cuts the grid — but ny=96 and ny=128 both land inside ±10% of
+    Schäfer–Turek (C_D 5.57-5.59, dp 0.1172-0.1176). ny=96 is asserted
+    (deep inside the band, 4.4x faster than ny=128)."""
+    import jax.numpy as jnp
+
+    case = get_case("diffuse_ib_dfg", ny=96, benchmark=1)
     g = case.grid
-    state = case.make_state()
+    state = case.make_state(dtype=jnp.float32)
     step = case.make_step()
     # run to quasi-steady state (Re = 20)
-    for _ in range(300):
+    for _ in range(1000):
         state = step(state, 1.5)
-        if float(state.t) >= 1.5 - 1e-12:
+        if float(state.t) >= 1.5 - 1e-6:
             break
 
     um = dfg.u_mean(1, float(state.t))
-    cd = float(dfg.calc_c_d(state.p, state.U, g, um))
-    cl = float(dfg.calc_c_l(state.p, state.V, g, um))
+    cd = float(dfg.calc_c_d_surface(state.p, state.U, state.V, g, um))
+    cl = float(dfg.calc_c_l_surface(state.p, state.U, state.V, g, um))
     dp = float(dfg.calc_p_diff(state.p, g))
 
-    assert 4.0 < cd < 8.0, f"C_D = {cd:.3f} (lit. 5.58)"
-    assert abs(cl) < 0.5, f"C_L = {cl:.4f} (lit. 0.0107)"
-    assert 0.05 < dp < 0.2, f"dp = {dp:.4f} (lit. 0.1175)"
+    assert 5.58 * 0.9 < cd < 5.58 * 1.1, f"C_D = {cd:.4f} (lit. 5.57-5.59)"
+    assert abs(cl) < 0.05, f"C_L = {cl:.5f} (lit. 0.0104-0.0110)"
+    assert 0.1175 * 0.9 < dp < 0.1175 * 1.1, f"dp = {dp:.5f} (lit. 0.1175)"
 
 
 def test_dfg_evaluators_run():

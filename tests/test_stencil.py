@@ -101,3 +101,33 @@ def test_mid_time_and_interp_uv():
     c = stencil.interp_uv_center(ru, rv)
     assert c.shape == g.shape_center
     assert np.allclose(np.asarray(c), 3.0)
+
+
+def test_sample_centered_stack_lattice_bit_exact():
+    """The gather-free lattice sampler (dense RK4 backtrace path) is
+    BIT-identical to the gather form for CFL-bounded displacements of the
+    interior corner lattice — including points exactly on lattice corners
+    and displacements that clamp at the domain edge."""
+    rng = np.random.default_rng(7)
+    for nx, ny, dtype in [(16, 12, np.float64), (33, 7, np.float32),
+                          (5, 5, np.float64)]:
+        dx, dy = 1.0 / nx, 1.3 / ny
+        x0, y0 = 0.5 * dx, 0.5 * dy
+        fields = jnp.asarray(rng.standard_normal((2, nx + 2, ny + 2)), dtype)
+        I, J = np.meshgrid(np.arange(nx + 1), np.arange(ny + 1),
+                           indexing="ij")
+        cornx = x0 + (I - 0.5) * dx
+        corny = y0 + (J - 0.5) * dy
+        for scale in (0.9, 0.0):  # max CFL displacement / exactly on lattice
+            px = jnp.asarray(
+                cornx + rng.uniform(-scale, scale or 1e-300, I.shape) * dx,
+                dtype)
+            py = jnp.asarray(
+                corny + rng.uniform(-scale, scale or 1e-300, I.shape) * dy,
+                dtype)
+            ref = stencil.sample_centered_stack(
+                fields, x0, dx, y0, dy, px, py)
+            new = stencil.sample_centered_stack_lattice(
+                fields, x0, dx, y0, dy, px, py)
+            assert np.array_equal(np.asarray(ref), np.asarray(new)), (
+                nx, ny, dtype, scale)
