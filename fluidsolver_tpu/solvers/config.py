@@ -123,3 +123,11 @@ class SolverConfig:
     # None = auto (default_max_active), 0 = dense all-cells path. Overflow
     # (interface longer than the budget) surfaces as an inf volume error.
     vof_max_active: Optional[int] = None
+
+    # A/B debug variants of the geometric advection, mirroring the
+    # reference's compile-time switches (src/VOF.hpp:216-298):
+    # VOF_NO_CORRECTION (drop the flux-matched face caps) and
+    # FS_VOF_ADVECT_WITH_STAGGERED_VELOCITY (RK4 through the raw staggered
+    # velocity). Production path: both False.
+    vof_no_correction: bool = False
+    vof_staggered_backtrace: bool = False

@@ -186,3 +186,64 @@ def test_eager_numpy_public_api():
     assert abs(m1 - m0) / m0 < 1e-11
     assert float(err) < 1e-11
     assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(k)))
+
+
+def test_advect_variants_ab():
+    """The reference's compile-time A/B switches (src/VOF.hpp:216-298) as
+    runtime flags: VOF_NO_CORRECTION must RAISE the per-step volume error
+    on a NONLINEAR flow (a linear map takes the quad to the exact advected
+    cell — the flux-matched caps correct precisely the curved-edge volume a
+    4-vertex backtrace cannot represent), and the staggered-velocity
+    backtrace must stay conservative on a single-mode field both
+    interpolations resolve."""
+    import jax
+
+    g = make_grid(0.0, 1.0, 48, 0.0, 1.0, 48)
+    vf0 = jnp.asarray(
+        liquid_fraction_from_indicator(
+            lambda x, y: (x - 0.5) ** 2 + (y - 0.5) ** 2 <= 0.2**2, g
+        )
+    )
+    # Taylor-Green vortex: solenoidal and curved everywhere
+    Xu, Yu = np.meshgrid(g.x, g.ym, indexing="ij")
+    Xv, Yv = np.meshgrid(g.xm, g.y, indexing="ij")
+    U = jnp.asarray(np.sin(np.pi * Xu) * np.cos(np.pi * Yu))
+    V = jnp.asarray(-np.cos(np.pi * Xv) * np.sin(np.pi * Yv))
+    Ui = stencil.interp_u_center(U)
+    Vi = stencil.interp_v_center(V)
+    dt = 5e-3
+
+    def run(n_iter, **kw):
+        @jax.jit
+        def one(vf):
+            rec = plic.elvira(vf, g.dx, g.dy)
+            return adv.advect(vf, rec, U, V, Ui, Vi, g, dt, **kw)
+
+        vf, worst = vf0, 0.0
+        for _ in range(n_iter):
+            vf, vol_err = one(vf)
+            worst = max(worst, float(vol_err))
+        return vf, worst
+
+    init_int = float(jnp.sum(vf0)) * g.dx * g.dy
+
+    _, err_base = run(6)
+    assert err_base < 1e-12
+
+    # no-correction: plain backtraced quad — volume error is now O(dt^k),
+    # clearly nonzero, and mass drifts accordingly
+    vf_nc, err_nc = run(6, no_correction=True)
+    assert err_nc > 1e3 * max(err_base, 1e-300), (err_nc, err_base)
+    assert err_nc < g.dx * g.dy  # still a small fraction of a cell
+
+    # staggered backtrace: for a linear solenoidal field the staggered and
+    # centered interpolations represent the same flow -> conservative
+    vf_st, err_st = run(6, staggered=True)
+    assert err_st < 1e-10, err_st
+    int_st = float(jnp.sum(vf_st)) * g.dx * g.dy
+    assert abs(int_st - init_int) < 1e-10
+
+    # both variants also run through the sparse path
+    for kw in ({"no_correction": True}, {"staggered": True}):
+        vf_sp, _ = run(2, max_active=1024, **kw)
+        assert bool(jnp.all(jnp.isfinite(vf_sp)))
