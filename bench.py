@@ -42,6 +42,12 @@ TARGET_MS = 10.0
 def _run(warmup: int, n: int):
     import jax
 
+    t_start = time.perf_counter()
+
+    def stamp(msg):
+        sys.stderr.write(f"[{time.perf_counter() - t_start:7.1f}s] {msg}\n")
+        sys.stderr.flush()
+
     # production precision on TPU: f32 fields (f64 is emulated and slow)
     import jax.numpy as jnp
 
@@ -68,6 +74,7 @@ def _run(warmup: int, n: int):
         pressure_precond_dtype=os.environ.get("FS_PRECOND_DTYPE") or None,
         pressure_precond_refresh=os.environ.get("FS_PRECOND_REFRESH", "step"),
     )
+    stamp(f"imports done (n={n}); building state")
     vf0 = liquid_fraction_from_indicator(
         lambda x, y: (x - 0.3) ** 2 + (y - 0.5) ** 2 <= 0.1**2, g
     )
@@ -83,10 +90,16 @@ def _run(warmup: int, n: int):
     # read: block_until_ready can return after the dispatch ack on this
     # tunnel, and the first D2H in a process is sporadically minutes-slow —
     # pay both here, outside the timed region.
+    stamp(f"state ready (n={n}); compiling + warming {warmup} steps")
     n_warm_batches = max(1, (warmup + STEPS - 1) // STEPS)
-    for _ in range(n_warm_batches):
+    for k in range(n_warm_batches):
         state = runner(state, 1e9)
+        if k == 0:
+            stamp("first batch dispatched; draining (first D2H can be slow)")
         float(state.flow.dt)
+        if k == 0:
+            stamp("first batch drained")
+    stamp("warmup done; timing")
 
     def timed_batch(state, n_dispatches):
         t0 = time.perf_counter()

@@ -18,11 +18,21 @@ import os as _os
 
 # Persistent XLA compilation cache: the VOF clip pipeline and the MG-PCG
 # V-cycles are expensive to compile; caching amortizes it across processes.
-_os.environ.setdefault(
+# MUST go through jax.config.update: the env vars are only read at jax
+# import, and virtually every entry point imports jax before this package
+# (round-3 postmortem: the cache dir had never been created — every bench
+# attempt recompiled the 1024^2 step from scratch and timed out).
+_CACHE_DIR = _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.expanduser("~"), ".cache", "fluidsolver_tpu_xla"),
 )
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - ancient jax
+    pass
 
 from fluidsolver_tpu.version import __version__
 
