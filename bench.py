@@ -169,9 +169,116 @@ class _Delivery:
         os._exit(code if self.row is None else 0)
 
 
+def _worker():
+    """Persistent measurement worker: pays JAX init + the sporadic
+    minutes-long first-D2H stall ONCE, then serves attempts over stdin
+    ("<warmup> <n>" per line) emitting one JSON line each to stdout.
+
+    Rationale (round-3 postmortem): the per-attempt-subprocess design paid
+    the first-D2H stall per attempt — measured 24 s .. >9 min PER PROCESS,
+    randomly, which blew every per-attempt timeout even with a warm
+    compile cache."""
+    import jax.numpy as jnp
+
+    import fluidsolver_tpu  # noqa: F401  (persistent compile cache config)
+
+    t0 = time.perf_counter()
+    float(jnp.zeros(()))  # device init + the first D2H (the stall)
+    sys.stderr.write(f"[worker] link ready in {time.perf_counter()-t0:.1f}s\n")
+    sys.stderr.flush()
+    print("READY", flush=True)
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts or parts[0] == "quit":
+            break
+        try:
+            _run(int(parts[0]), int(parts[1]))
+        except Exception as e:  # report, keep serving
+            print(json.dumps(
+                {"error": f"{type(e).__name__}: {e}"[:300]}), flush=True)
+
+
+class _WorkerHandle:
+    """Parent-side handle with per-read deadlines and kill/restart."""
+
+    def __init__(self):
+        import subprocess
+
+        self._subprocess = subprocess
+        self.p = None
+
+    def start(self):
+        self.kill()
+        self.p = self._subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdin=self._subprocess.PIPE, stdout=self._subprocess.PIPE,
+            stderr=None,  # stream worker stamps into our stderr live
+            text=True, bufsize=1,
+        )
+
+    def kill(self):
+        if self.p is not None and self.p.poll() is None:
+            self.p.kill()
+            try:
+                self.p.wait(timeout=10)
+            except Exception:
+                pass
+        self.p = None
+
+    def read_line(self, timeout_s: float):
+        """Next stdout line, or None on EOF/death, or "TIMEOUT"."""
+        import select
+
+        end = time.time() + timeout_s
+        while True:
+            left = end - time.time()
+            if left <= 0:
+                return "TIMEOUT"
+            r, _, _ = select.select([self.p.stdout], [], [], min(1.0, left))
+            if r:
+                line = self.p.stdout.readline()
+                return line.strip() if line else None
+            if self.p.poll() is not None:
+                return None
+
+    def ensure_ready(self, timeout_s: float) -> bool:
+        """Live worker that has printed READY (link up), or False."""
+        if self.p is None or self.p.poll() is not None:
+            if timeout_s < 30:
+                return False
+            self.start()
+            line = self.read_line(timeout_s)
+            if line != "READY":
+                sys.stderr.write(f"worker failed to come up ({line})\n")
+                self.kill()
+                return False
+        return True
+
+    def request(self, warmup: int, n: int, timeout_s: float):
+        """One measurement; returns (json_line | None, err | None). On
+        timeout the worker is killed (wedged runtime must not poison the
+        next attempt)."""
+        if not self.ensure_ready(timeout_s):
+            return None, f"(warmup={warmup}, n={n}) no worker"
+        try:
+            self.p.stdin.write(f"{warmup} {n}\n")
+            self.p.stdin.flush()
+        except Exception as e:
+            self.kill()
+            return None, f"(warmup={warmup}, n={n}) worker pipe: {e}"
+        line = self.read_line(timeout_s)
+        if line == "TIMEOUT":
+            self.kill()
+            return None, f"(warmup={warmup}, n={n}) timed out ({timeout_s:.0f}s)"
+        if not line:
+            self.kill()
+            return None, f"(warmup={warmup}, n={n}) worker died"
+        if line.startswith("{") and '"error"' not in line[:12]:
+            return line, None
+        return None, f"(warmup={warmup}, n={n}) failed: {line[:300]}"
+
+
 def main():
-    # Each attempt runs in its own subprocess with a timeout so a wedged or
-    # crashed runtime (UNAVAILABLE worker) cannot poison the retry.
     import subprocess
 
     budget = float(os.environ.get("FS_BENCH_BUDGET_S", "1500"))
@@ -183,8 +290,17 @@ def main():
         return deadline - time.time()
 
     delivery = _Delivery()
+    worker = _WorkerHandle()
+
+    def _on_signal(*_):
+        try:
+            worker.kill()
+        except Exception:
+            pass
+        delivery.flush_and_exit(1)
+
     for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, lambda *_: delivery.flush_and_exit(1))
+        signal.signal(sig, _on_signal)
 
     last_health = ["unprobed"]
 
@@ -205,38 +321,23 @@ def main():
             last_health[0] = f"probe failed ({type(e).__name__})"
             return False
 
-    def run_single(warmup, n, timeout, extra_env=None):
-        if timeout < 60:
-            return None, f"(warmup={warmup}, n={n}) skipped: out of budget"
-        env = dict(os.environ)
-        if extra_env:
-            env.update(extra_env)
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single",
-                 str(warmup), str(n)],
-                capture_output=True, text=True, timeout=timeout, env=env,
-            )
-        except subprocess.TimeoutExpired:
-            return None, f"(warmup={warmup}, n={n}) timed out"
-        if out.returncode == 0 and out.stdout.strip():
-            line = out.stdout.strip().splitlines()[-1]
-            if line.startswith("{"):
-                return line, None
-        return None, f"(warmup={warmup}, n={n}) failed:\n{out.stderr[-500:]}"
-
-    # Health gate, capped: wait out a degraded DEVICE (sick HBM) but never
-    # spend more than ~20% of the budget on it. "timeable" (slow tunnel,
-    # healthy device) is fine — the timing design cancels RTT.
-    health_deadline = start + min(300.0, budget * 0.2)
+    # Bring the worker up FIRST: its READY wait covers device init + the
+    # first-D2H stall, which must be paid before any attempt can succeed.
+    # The health probe runs concurrently-cheap after (worker already up).
+    worker.ensure_ready(min(720.0, max(120.0, remaining() - 600.0)))
     window_ok = healthy()
+    health_deadline = start + min(300.0, budget * 0.2)
     while not window_ok and time.time() < health_deadline:
         sys.stderr.write("TPU degraded; waiting 60s for recovery...\n")
         time.sleep(60)
         window_ok = healthy()
 
     def attempt(warmup, n, timeout):
-        js, err = run_single(warmup, n, timeout)
+        if timeout < 60:
+            sys.stderr.write(f"bench attempt (warmup={warmup}, n={n}) "
+                             f"skipped: out of budget\n")
+            return False
+        js, err = worker.request(warmup, n, timeout)
         if js is None:
             sys.stderr.write(f"bench attempt {err}\n")
             return False
@@ -249,7 +350,10 @@ def main():
 
     # Phase 1 — land ANY number at the headline size fast (tiny warmup),
     # falling back to smaller grids if the full size cannot complete.
-    got_full = attempt(2, N, min(600.0, remaining() - 120.0))
+    # Within a live worker an attempt costs state build (~60 s at 1024^2)
+    # + compile (seconds on a warm persistent cache, minutes cold) + the
+    # measured batches; the D2H stall was paid at worker start.
+    got_full = attempt(2, N, min(900.0, remaining() - 300.0))
     if not got_full and delivery.row is None:
         for n in (N // 2, N // 4, N // 8):
             if attempt(2, n, min(300.0, remaining() - 60.0)):
@@ -258,13 +362,9 @@ def main():
     # Phase 2 — refine: developed-flow warmup at the headline size (the
     # honest number). Only replaces the provisional if it completes.
     if got_full and WARMUP > 2 and remaining() > 300:
-        if remaining() > 900:
-            # re-probe so the JSON records the window that produced the
-            # number — but only with budget to spare (a probe is ~60-120 s
-            # of JAX init over the tunnel; keep the last label otherwise)
-            window_ok = healthy()
         attempt(WARMUP, N, remaining() - 30.0)
 
+    worker.kill()
     if delivery.row is None:
         sys.stderr.write("all bench attempts failed\n")
         raise SystemExit(1)
@@ -274,6 +374,8 @@ def main():
 def _entry():
     if len(sys.argv) == 4 and sys.argv[1] == "--single":
         _run(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) == 2 and sys.argv[1] == "--worker":
+        _worker()
     else:
         main()
 
