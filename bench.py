@@ -73,6 +73,10 @@ def _run(warmup: int, n: int):
         # A/B knobs (bench_suite/ab_matrix.py)
         pressure_precond_dtype=os.environ.get("FS_PRECOND_DTYPE") or None,
         pressure_precond_refresh=os.environ.get("FS_PRECOND_REFRESH", "step"),
+        # sparse-lane budget: unset = auto (sparse), "0" = dense all-cells
+        # path (lattice-masked RK4 backtrace, no gathers — see PERF.md)
+        vof_max_active=(int(os.environ["FS_VOF_MAX_ACTIVE"])
+                        if os.environ.get("FS_VOF_MAX_ACTIVE") else None),
     )
     stamp(f"imports done (n={n}); building state")
     vf0 = liquid_fraction_from_indicator(
