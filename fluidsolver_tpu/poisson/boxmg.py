@@ -669,11 +669,34 @@ def _fused_ok(level: BoxLevel, b) -> bool:
 
 
 def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
-            n_post: int = 1) -> jnp.ndarray:
-    """One symmetric V(n_pre, n_post) cycle from a zero initial guess."""
+            n_post: int = 1, fine_padded: bool = False) -> jnp.ndarray:
+    """One symmetric V(n_pre, n_post) cycle from a zero initial guess.
+
+    ``fine_padded``: the FINE-level rhs ``b`` arrives (and x returns) in the
+    pallas_vcycle band-padded (N_total, M_pad) layout — the padded-carry
+    contract of cg.solve_pcg. Callers must ensure the fine level runs the
+    fused smoother with packed transfers (cg gates on levels[0].banded /
+    .tr_fine / .tail); coarser levels are untouched (raw shapes)."""
 
     def cycle(lvl, b_l):
         level = levels[lvl]
+        if fine_padded and lvl == 0:
+            from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+            assert level.tail is None and level.tr_fine is not None \
+                and level.banded is not None, \
+                "fine_padded requires the fused fine level (cg gates this)"
+            x, bc = pv.fused_smooth(
+                level.op, b_l, colors=(True, False) * n_pre,
+                tr_planes=level.tr_fine, restrict=True,
+                banded=level.banded, padded_io=True,
+            )
+            ec = cycle(lvl + 1, bc)
+            return pv.fused_smooth(
+                level.op, b_l, x0=x, colors=(False, True) * n_post,
+                tr_planes=level.tr_fine, ec=ec,
+                banded=level.banded, padded_io=True,
+            )
         if level.tail is not None:
             # whole remaining hierarchy in one Pallas launch (the coarsest
             # level runs COARSE_SWEEPS symmetric sweeps in-kernel instead

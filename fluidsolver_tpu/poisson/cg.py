@@ -170,9 +170,9 @@ def solve_pcg(
         good = _dot(r_ws, r_ws) < _dot(b, b)
         x0 = jnp.where(good, x0, jnp.zeros_like(b))
         r0 = jnp.where(good, r_ws, b)
-    z0 = project(M_inv(r0))
-    p0 = z0
-    rz0 = _dot(r0, z0)
+    # z0/p0/rz0 are computed below, once the fused-iteration/padded-carry
+    # mode is known (the padded mode runs M^-1 in the band layout so ONE
+    # compiled smoother variant serves the init and every iteration)
 
     # Stagnation guard: in f32 the CG recurrence residual hits a rounding
     # floor (~eps32 * kappa(A) for the strong-jump operator) that can sit
@@ -208,6 +208,7 @@ def solve_pcg(
     from fluidsolver_tpu.flags import pallas_enabled
 
     use_fused_iter = False
+    padded_carry = False
     if pallas_enabled("FS_PALLAS_CG"):
         from fluidsolver_tpu.poisson import pallas_cg
 
@@ -215,16 +216,63 @@ def solve_pcg(
         if use_fused_iter:
             # pad the loop-invariant operator planes ONCE, outside the loop
             op_padded = pallas_cg.pad_operator(op, b.shape)
+            # Padded-carry: keep EVERY loop-carried full-size vector
+            # (x, r, z, p, x_best) in the shared band-padded layout across
+            # the whole while_loop — pad once here, extract once after.
+            # Kills the ~14 per-iteration pad/extract kernels (and their
+            # ~130 MB/iter of HBM copies) that step_ab / the fine-level
+            # fused_smooth / step_c otherwise re-issue every iteration.
+            # Requires the fine level of M^-1 to be the fused smoother
+            # with packed transfers in the SAME layout (boxmg.v_cycle
+            # fine_padded), same storage dtype, and no fine-level tail.
+            if precond == "boxmg" and precond_dtype is None and levels:
+                lvl0 = levels[0]
+                padded_carry = (
+                    len(levels) > 1
+                    and getattr(lvl0, "tail", None) is None
+                    and getattr(lvl0, "banded", None) is not None
+                    and getattr(lvl0, "tr_fine", None) is not None
+                    and lvl0.op.aC.dtype == b.dtype
+                )
+    if padded_carry:
+        from fluidsolver_tpu.poisson import boxmg as _boxmg
+        from fluidsolver_tpu.poisson import pallas_cg
+
+        def M_inv_pad(rp):
+            return _boxmg.v_cycle(levels, rp, n_pre=n_pre, n_post=n_post,
+                                  fine_padded=True)
+
+        shape = b.shape
+        x0 = pallas_cg.pad_vec(x0, shape)
+        r0 = pallas_cg.pad_vec(r0, shape)
+        z0 = M_inv_pad(r0)
+        if singular:
+            # masked mean subtraction: an unmasked -mean would break the
+            # zero-pad invariant every banded dot/matvec relies on
+            mean_z = jnp.sum(z0) / (shape[0] * shape[1])
+            rows = jnp.arange(z0.shape[0])[:, None]
+            cols = jnp.arange(z0.shape[1])[None, :]
+            valid = (rows >= 8) & (rows < 8 + shape[0]) & (cols < shape[1])
+            z0 = jnp.where(valid, z0 - mean_z, jnp.zeros((), b.dtype))
+        p0 = z0
+        rz0 = _dot(r0, z0)
+    else:
+        z0 = project(M_inv(r0))
+        p0 = z0
+        rz0 = _dot(r0, z0)
 
     def body(carry):
         x0_, r0_, z0_, p0_, rz, k, rel0_, best, since, x_best = carry
         if use_fused_iter:
             from fluidsolver_tpu.poisson import pallas_cg
 
+            io_kw = (dict(padded_io=True, shape=b.shape)
+                     if padded_carry else {})
             x, r, pAp, rr, sum_r = pallas_cg.step_ab(
-                op_padded, x0_, r0_, p0_, rz)
+                op_padded, x0_, r0_, p0_, rz, **io_kw)
+            z_raw = M_inv_pad(r) if padded_carry else M_inv(r)
             z, p, rz_new = pallas_cg.step_c(
-                r, M_inv(r), p0_, rz, singular, sum_r=sum_r)
+                r, z_raw, p0_, rz, singular, sum_r=sum_r, **io_kw)
             rel = jnp.sqrt(rr) / safe_b_norm
         else:
             Ap = apply_op(op, p0_)
@@ -271,4 +319,6 @@ def solve_pcg(
         (x0, r0, z0, p0, rz0, 0, rel0, rel0, 0, x0),
     )
     x, rel = x_best, best
+    if padded_carry:
+        x = pallas_cg.extract_vec(x, b.shape)
     return project(x) if singular else x, rel, iters

@@ -41,13 +41,34 @@ from fluidsolver_tpu.poisson.pallas_vcycle import _shift_in  # noqa: E402
 
 
 def _band_layout(N, M, n_arrays, dtype):
-    M_pad = -(-M // 128) * 128
+    """SHARED with pallas_vcycle.band_layout: the CG vectors and the fused
+    smoother must agree on (B, M_pad, N_total) so the padded-carry PCG loop
+    can hand the SAME (N_total, M_pad) buffers to step_ab, the fine-level
+    fused_smooth (M^-1), and step_c without any repacking. n_arrays is
+    ignored — the shared layout uses the vcycle's worst-case VMEM estimate,
+    which is strictly more conservative than any pallas_cg variant needs
+    (a smaller band just means more sequential grid steps, same bytes)."""
+    del n_arrays
+    from fluidsolver_tpu.poisson.pallas_vcycle import band_layout
+
     item = jnp.dtype(dtype).itemsize
-    B = 256
-    while B > 8 and (B + 16) * M_pad * (n_arrays + 4) * item >= VMEM_BUDGET_BYTES:
-        B //= 2
-    n_bands = -(-N // B)
-    return B, M_pad, n_bands, n_bands * B + 16
+    assert item in (4, 8), "pallas_cg: f32 (TPU) or f64 (interpret) only"
+    B, n_bands, N_total, M_pad = band_layout(N, M, item)
+    return B, M_pad, n_bands, N_total
+
+
+def pad_vec(a, shape):
+    """Pad one (N, M) vector to the shared band layout — the padded-carry
+    entry point (once per solve, before the while_loop)."""
+    N, M = shape
+    _, M_pad, _, N_total = _band_layout(N, M, 0, a.dtype)
+    return jnp.pad(a, ((8, N_total - 8 - N), (0, M_pad - M)))
+
+
+def extract_vec(a_pad, shape):
+    """Inverse of pad_vec (once per solve, after the while_loop)."""
+    N, M = shape
+    return a_pad[8:8 + N, :M]
 
 
 def pad_operator(op, shape):
@@ -71,16 +92,22 @@ def available(shape, dtype=None) -> bool:
     return shape[0] >= 32 and shape[1] >= 2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def step_ab(op, x, r, p, rz, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "padded_io", "shape"))
+def step_ab(op, x, r, p, rz, interpret=False, padded_io=False, shape=None):
     """(x', r', pAp, rr, sum_r) — the alpha half of a PCG iteration, fused.
     ``op`` is either a StencilOp (padded here) or the pre-padded 5-tuple
     from pad_operator (the loop-hoisted production form). sum_r = sum of
-    the updated residual, accumulated for free for step_c's projected dot."""
+    the updated residual, accumulated for free for step_c's projected dot.
+
+    ``padded_io``: x/r/p arrive AND return in the shared (N_total, M_pad)
+    band layout (pad_vec) — the padded-carry contract; ``shape`` must give
+    the raw (N, M). Zero stays zero in every pad cell (coefs are zero
+    there), so dot products over band interiors remain exact."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, M = x.shape
+    N, M = shape if padded_io else x.shape
     dtype = x.dtype
     B, M_pad, n_bands, N_total = _band_layout(N, M, 9, dtype)
     W = B + 16
@@ -92,9 +119,13 @@ def step_ab(op, x, r, p, rz, interpret=False):
     coefs_pad = (op if isinstance(op, tuple)
                  else tuple(pad(getattr(op, n))
                             for n in ("aC", "aL", "aR", "aB", "aT")))
+    if padded_io:
+        assert x.shape == (N_total, M_pad), (x.shape, (N_total, M_pad))
+        vecs = [x, r, p]
+    else:
+        vecs = [pad(x), pad(r), pad(p)]
     args = (list(coefs_pad)
-            + [pad(x), pad(r), pad(p),
-               jnp.reshape(rz.astype(dtype), (1, 1))])
+            + vecs + [jnp.reshape(rz.astype(dtype), (1, 1))])
     n_in = len(args)  # 9; ins[8] is the SMEM rz scalar
 
     def kernel(*refs):
@@ -102,6 +133,7 @@ def step_ab(op, x, r, p, rz, interpret=False):
         outs = refs[n_in:n_in + 4]      # x', r', Ap bands, scalars (1,2)
         win = refs[n_in + 4:n_in + 4 + 6]      # six (W, M_pad) buffers
         buf = refs[n_in + 10:n_in + 12]        # two (B, M_pad) buffers
+        zbuf = refs[n_in + 12] if padded_io else None
         acc = refs[-3]                          # SMEM (3,): pAp, rr, sum_r
         sem_in = refs[-2]
         sem_out = refs[-1]
@@ -162,10 +194,33 @@ def step_ab(op, x, r, p, rz, interpret=False):
             acc[2] = acc[2] + jnp.sum(r_new)
             buf[0][:] = xw + alpha * pw
             buf[1][:] = r_new
-            cpx = pltpu.make_async_copy(buf[0], outs[0].at[band],
-                                        sem_out.at[1])
-            cpr = pltpu.make_async_copy(buf[1], outs[1].at[band],
-                                        sem_out.at[2])
+            if padded_io:
+                # contiguous padded outputs (rows [8+start, 8+start+B)) so
+                # the next call consumes them with zero repacking; band 0
+                # zeroes the never-written edge rows (uninitialized HBM
+                # would poison the halo reads: NaN x 0-coef = NaN)
+                cpx = pltpu.make_async_copy(
+                    buf[0], outs[0].at[pl.ds(8 + start, B)], sem_out.at[1])
+                cpr = pltpu.make_async_copy(
+                    buf[1], outs[1].at[pl.ds(8 + start, B)], sem_out.at[2])
+
+                @pl.when(band == 0)
+                def _zero_edges():
+                    zbuf[:] = jnp.zeros((8, M_pad), dtype)
+                    zs = [pltpu.make_async_copy(
+                        zbuf, outs[k].at[pl.ds(row, 8)], sem_out.at[s])
+                        for s, (k, row) in enumerate(
+                            [(0, 0), (0, N_total - 8),
+                             (1, 0), (1, N_total - 8)], start=3)]
+                    for z in zs:
+                        z.start()
+                    for z in zs:
+                        z.wait()
+            else:
+                cpx = pltpu.make_async_copy(buf[0], outs[0].at[band],
+                                            sem_out.at[1])
+                cpr = pltpu.make_async_copy(buf[1], outs[1].at[band],
+                                            sem_out.at[2])
             cpx.start()
             cpr.start()
             cpx.wait()
@@ -179,12 +234,13 @@ def step_ab(op, x, r, p, rz, interpret=False):
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vec_shape = ((N_total, M_pad) if padded_io else (n_bands, B, M_pad))
     res = pl.pallas_call(
         kernel,
         grid=(2, n_bands),
         out_shape=(
-            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
-            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct(vec_shape, dtype),
+            jax.ShapeDtypeStruct(vec_shape, dtype),
             jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
             jax.ShapeDtypeStruct((1, 3), dtype),
         ),
@@ -193,9 +249,10 @@ def step_ab(op, x, r, p, rz, interpret=False):
         scratch_shapes=(
             [pltpu.VMEM((W, M_pad), dtype) for _ in range(6)]
             + [pltpu.VMEM((B, M_pad), dtype) for _ in range(2)]
+            + ([pltpu.VMEM((8, M_pad), dtype)] if padded_io else [])
             + [pltpu.SMEM((3,), dtype),
                pltpu.SemaphoreType.DMA((6,)),
-               pltpu.SemaphoreType.DMA((3,))]
+               pltpu.SemaphoreType.DMA((7 if padded_io else 3,))]
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -203,6 +260,8 @@ def step_ab(op, x, r, p, rz, interpret=False):
     )(*args)
 
     def extract(bands):
+        if padded_io:
+            return bands
         return bands.reshape(n_bands * B, M_pad)[:N, :M]
 
     return (extract(res[0]), extract(res[1]),
@@ -210,16 +269,23 @@ def step_ab(op, x, r, p, rz, interpret=False):
             res[3][0, 2].astype(rz.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("singular", "interpret"))
-def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("singular", "interpret",
+                                              "padded_io", "shape"))
+def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False,
+           padded_io=False, shape=None):
     """(z, p', rz_new): z = z_raw - mean(z_raw) (if singular), rz_new =
     <r, z>, p' = z + (rz_new / rz_prev) p — fused. The projected dot uses
     <r, z - m> = <r, z_raw> - m * sum(r); sum(r) comes from step_ab's
-    accumulator (or is reduced here as a fallback)."""
+    accumulator (or is reduced here as a fallback).
+
+    ``padded_io``: r/z_raw/p arrive AND return in the shared (N_total,
+    M_pad) band layout; ``shape`` = raw (N, M). The singular projection
+    subtracts the mean on VALID cells only (in-kernel row/col mask), so
+    the zero-pad invariant of the padded-carry loop is preserved."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, M = r.shape
+    N, M = shape if padded_io else r.shape
     dtype = r.dtype
     B, M_pad, n_bands, N_total = _band_layout(N, M, 5, dtype)
     W = B + 16
@@ -233,13 +299,18 @@ def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
         sum_r = jnp.sum(r) if singular else jnp.zeros((), r.dtype)
     scalars_in = jnp.stack(
         [rz_prev.astype(dtype), sum_r.astype(dtype)]).reshape(1, 2)
-    args = [pad(r), pad(z_raw), pad(p), scalars_in]
+    if padded_io:
+        assert r.shape == (N_total, M_pad), (r.shape, (N_total, M_pad))
+        args = [r, z_raw, p, scalars_in]
+    else:
+        args = [pad(r), pad(z_raw), pad(p), scalars_in]
 
     def kernel(*refs):
         ins = refs[:4]
         outs = refs[4:7]            # z, p', rz_new (1,1)
         win = refs[7:10]            # three (W, M_pad)
         buf = refs[10:12]           # two (B, M_pad)
+        zbuf = refs[12] if padded_io else None
         acc = refs[-3]              # SMEM (2,): sum_z, <r, z_raw>
         sem_in = refs[-2]
         sem_out = refs[-1]
@@ -281,12 +352,38 @@ def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
             rz_new = acc[1] - mean_z * ins[3][0, 1]
             beta = rz_new / jnp.where(ins[3][0, 0] != 0.0, ins[3][0, 0], 1.0)
             z_proj = zw - mean_z
+            if padded_io and singular:
+                # mean subtraction on VALID cells only: an unmasked -mean
+                # in the pad cells would break the zero-pad invariant every
+                # subsequent dot/matvec relies on
+                ii = jax.lax.broadcasted_iota(jnp.int32, (B, M_pad), 0) + start
+                jj = jax.lax.broadcasted_iota(jnp.int32, (B, M_pad), 1)
+                z_proj = jnp.where((ii < N) & (jj < M), z_proj, 0.0)
             buf[0][:] = z_proj
             buf[1][:] = z_proj + beta * pw
-            cpz = pltpu.make_async_copy(buf[0], outs[0].at[band],
-                                        sem_out.at[0])
-            cpp = pltpu.make_async_copy(buf[1], outs[1].at[band],
-                                        sem_out.at[1])
+            if padded_io:
+                cpz = pltpu.make_async_copy(
+                    buf[0], outs[0].at[pl.ds(8 + start, B)], sem_out.at[0])
+                cpp = pltpu.make_async_copy(
+                    buf[1], outs[1].at[pl.ds(8 + start, B)], sem_out.at[1])
+
+                @pl.when(band == 0)
+                def _zero_edges():
+                    zbuf[:] = jnp.zeros((8, M_pad), dtype)
+                    zs = [pltpu.make_async_copy(
+                        zbuf, outs[k].at[pl.ds(row, 8)], sem_out.at[s])
+                        for s, (k, row) in enumerate(
+                            [(0, 0), (0, N_total - 8),
+                             (1, 0), (1, N_total - 8)], start=2)]
+                    for z in zs:
+                        z.start()
+                    for z in zs:
+                        z.wait()
+            else:
+                cpz = pltpu.make_async_copy(buf[0], outs[0].at[band],
+                                            sem_out.at[0])
+                cpp = pltpu.make_async_copy(buf[1], outs[1].at[band],
+                                            sem_out.at[1])
             cpz.start()
             cpp.start()
             cpz.wait()
@@ -298,12 +395,13 @@ def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vec_shape = ((N_total, M_pad) if padded_io else (n_bands, B, M_pad))
     res = pl.pallas_call(
         kernel,
         grid=(2, n_bands),
         out_shape=(
-            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
-            jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype),
+            jax.ShapeDtypeStruct(vec_shape, dtype),
+            jax.ShapeDtypeStruct(vec_shape, dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ),
         in_specs=[hbm] * 3 + [smem],
@@ -311,9 +409,10 @@ def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
         scratch_shapes=(
             [pltpu.VMEM((W, M_pad), dtype) for _ in range(3)]
             + [pltpu.VMEM((B, M_pad), dtype) for _ in range(2)]
+            + ([pltpu.VMEM((8, M_pad), dtype)] if padded_io else [])
             + [pltpu.SMEM((2,), dtype),
                pltpu.SemaphoreType.DMA((3,)),
-               pltpu.SemaphoreType.DMA((2,))]
+               pltpu.SemaphoreType.DMA((6 if padded_io else 2,))]
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -321,6 +420,8 @@ def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False):
     )(*args)
 
     def extract(bands):
+        if padded_io:
+            return bands
         return bands.reshape(n_bands * B, M_pad)[:N, :M]
 
     return (extract(res[0]), extract(res[1]),

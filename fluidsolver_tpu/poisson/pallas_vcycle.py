@@ -109,7 +109,7 @@ def _apply_coefs(coefs, x):
 
 
 def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
-                 ncoef, M, B, H, W, dtype, A):
+                 ncoef, M, B, H, W, dtype, A, padded_out=False, N_total=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -131,6 +131,7 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
         outs = refs[n_in:n_in + n_out]
         scratch = refs[n_in + n_out:n_in + n_out + n_in]
         out_buf = refs[n_in + n_out + n_in:n_in + n_out + n_in + n_out]
+        zbuf = refs[n_in + n_out + n_in + n_out] if padded_out else None
         sem_in = refs[-2]
         sem_out = refs[-1]
 
@@ -222,12 +223,40 @@ def _make_kernel(colors, residual, has_x0, has_tr, has_corr, restrict,
                 )
             out_buf[1][:] = r[A:A + B].astype(dtype)
 
-        outs_dma = [
-            pltpu.make_async_copy(
-                out_buf[k], outs[k].at[band], sem_out.at[k]
-            )
-            for k in range(n_out)
-        ]
+        if padded_out:
+            # x streams back CONTIGUOUS into a (N_total, M_pad) buffer at
+            # rows [A+start, A+start+B) — the same layout the kernel reads,
+            # so the caller can chain calls with zero repacking (padded-
+            # carry PCG). The never-written edge rows [0, A) and
+            # [N_total-A, N_total) are zeroed by band 0: they are read as
+            # halo by the next call's band-0/last-band windows, and
+            # uninitialized HBM there (NaN x 0-coefficient = NaN) would
+            # poison the zero-pad invariant the banded math relies on.
+            outs_dma = [pltpu.make_async_copy(
+                out_buf[0], outs[0].at[pl.ds(A + start, B)], sem_out.at[0])]
+            for k in range(1, n_out):
+                outs_dma.append(pltpu.make_async_copy(
+                    out_buf[k], outs[k].at[band], sem_out.at[k]))
+
+            @pl.when(band == 0)
+            def _zero_edges():
+                zbuf[:] = jnp.zeros((A, M), dtype)
+                z0 = pltpu.make_async_copy(
+                    zbuf, outs[0].at[pl.ds(0, A)], sem_out.at[n_out])
+                z1 = pltpu.make_async_copy(
+                    zbuf, outs[0].at[pl.ds(N_total - A, A)],
+                    sem_out.at[n_out + 1])
+                z0.start()
+                z1.start()
+                z0.wait()
+                z1.wait()
+        else:
+            outs_dma = [
+                pltpu.make_async_copy(
+                    out_buf[k], outs[k].at[band], sem_out.at[k]
+                )
+                for k in range(n_out)
+            ]
         for d in outs_dma:
             d.start()
         for d in outs_dma:
@@ -315,9 +344,11 @@ def available(shape, dtype) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("colors", "residual",
-                                              "restrict", "interpret"))
+                                              "restrict", "interpret",
+                                              "padded_io"))
 def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
-                 tr_planes=None, restrict=False, ec=None, banded=None):
+                 tr_planes=None, restrict=False, ec=None, banded=None,
+                 padded_io=False):
     """Run ``colors`` (tuple of bools: True = red half-step) starting from
     ``x0`` (or zero); optionally also return r = b - A x. One HBM pass,
     exactly equivalent to chaining boxmg._rb_sweep color updates.
@@ -329,11 +360,24 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     from x0 + prolong_box(tr, ec).
 
     ``banded`` (from pack_banded): pre-padded (coefs, planes) in the band
-    layout — skips the per-call jnp.pad of every loop-invariant operand."""
+    layout — skips the per-call jnp.pad of every loop-invariant operand.
+
+    ``padded_io``: ``b`` (and ``x0``) arrive ALREADY in the band-padded
+    (N_total, M_pad) layout and the smoothed x is returned in that same
+    layout — the padded-carry contract of cg.solve_pcg, which keeps every
+    full-size vector in band form across the whole PCG while_loop (no
+    per-iteration pad/extract kernels or their HBM copies). Requires
+    ``banded``; the secondary output (restricted residual) is still
+    returned coarse-raw."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, M = b.shape
+    if padded_io:
+        assert banded is not None, "padded_io requires pack_banded operands"
+        assert not residual, "padded_io: residual variant unused/unsupported"
+        N, M = op.aC.shape
+    else:
+        N, M = b.shape
     dtype = b.dtype
     has_tr = tr_planes is not None
     has_corr = ec is not None
@@ -364,7 +408,8 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
                            (0, M_pad - a.shape[1])))
     kernel, n_in, n_out = _make_kernel(
         tuple(colors), residual, has_x0, has_tr, has_corr, restrict,
-        ncoef, M_pad, B, H, W, dtype, A
+        ncoef, M_pad, B, H, W, dtype, A,
+        padded_out=padded_io, N_total=N_total,
     )
 
     # explicit HBM: ANY may place small operands in VMEM, where the
@@ -373,6 +418,9 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
     out_shapes = tuple(
         jax.ShapeDtypeStruct((n_bands, B, M_pad), dtype) for _ in range(n_out)
     )
+    if padded_io:
+        out_shapes = ((jax.ShapeDtypeStruct((N_total, M_pad), dtype),)
+                      + out_shapes[1:])
     if banded is not None:
         coef_pads, plane_pads = banded
         assert len(coef_pads) == ncoef
@@ -385,9 +433,16 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
             coef_arrays += [op.aSW, op.aSE, op.aNW, op.aNE]
         args = [pad_rows(a) for a in coef_arrays]
         plane_pads = None
-    args.append(pad_rows(b))
-    if has_x0:
-        args.append(pad_rows(x0))
+    if padded_io:
+        assert b.shape == (N_total, M_pad), (b.shape, (N_total, M_pad))
+        args.append(b)
+        if has_x0:
+            assert x0.shape == (N_total, M_pad), x0.shape
+            args.append(x0)
+    else:
+        args.append(pad_rows(b))
+        if has_x0:
+            args.append(pad_rows(x0))
     if has_tr:
         args += (list(plane_pads) if plane_pads is not None
                  else [pad_rows(a) for a in tr_planes])
@@ -405,8 +460,9 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
         scratch_shapes=(
             [pltpu.VMEM((W, M_pad), dtype) for _ in range(n_in)]
             + [pltpu.VMEM((B, M_pad), dtype) for _ in range(n_out)]
+            + ([pltpu.VMEM((A, M_pad), dtype)] if padded_io else [])
             + [pltpu.SemaphoreType.DMA((n_in,)),
-               pltpu.SemaphoreType.DMA((n_out,))]
+               pltpu.SemaphoreType.DMA((n_out + (2 if padded_io else 0),))]
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -415,6 +471,8 @@ def fused_smooth(op, b, x0=None, colors=(), residual=False, interpret=False,
 
     # band interiors are written pre-aligned: extraction is one reshape
     def extract(bands):
+        if padded_io:
+            return bands  # already (N_total, M_pad) — the padded contract
         return bands.reshape(n_bands * B, M_pad)[:N, :M]
 
     if restrict:
