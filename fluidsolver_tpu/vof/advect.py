@@ -211,11 +211,11 @@ def _face_midpoint(a0x, a0y, a1x, a1y, p0x, p0y, p1x, p1y, target):
     return mx, my
 
 
-def _build_octagon(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
-                   U_W, U_E, V_S, V_N, dx, dy, dt, dtype):
-    """Octagon (..., K) buffers from backtracked corners (cell-local coords)
-    and the four staggered face velocities; faces CCW with flux-matched
-    midpoints."""
+def _octagon_slots(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
+                   U_W, U_E, V_S, V_N, dx, dy, dt):
+    """The 8 octagon slot coordinates (two lists of per-slot arrays) from
+    backtracked corners (cell-local coords) and the four staggered face
+    velocities; faces CCW with flux-matched midpoints."""
     zeros = jnp.zeros_like(a00x)
     dxa = jnp.full_like(a00x, dx)
     dya = jnp.full_like(a00x, dy)
@@ -226,29 +226,45 @@ def _build_octagon(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
     mNx, mNy = _face_midpoint(a11x, a11y, a01x, a01y, dxa, dya, zeros, dya, V_N * dx * dt)
     mWx, mWy = _face_midpoint(a01x, a01y, a00x, a00y, zeros, dya, zeros, zeros, -U_W * dy * dt)
 
-    oct_x = jnp.stack([a00x, mSx, a10x, mEx, a11x, mNx, a01x, mWx], axis=-1)
-    oct_y = jnp.stack([a00y, mSy, a10y, mEy, a11y, mNy, a01y, mWy], axis=-1)
-    pad = jnp.zeros(a00x.shape + (K - 8,), dtype)
-    oct_x = jnp.concatenate([oct_x, pad], axis=-1)
-    oct_y = jnp.concatenate([oct_y, pad], axis=-1)
-    n8 = jnp.full(a00x.shape, 8, jnp.int32)
-    return oct_x, oct_y, n8
+    return ([a00x, mSx, a10x, mEx, a11x, mNx, a01x, mWx],
+            [a00y, mSy, a10y, mEy, a11y, mNy, a01y, mWy])
 
 
-def _build_quad(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y, dtype):
+def _quad_slots(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y):
     """``VOF_NO_CORRECTION`` A/B variant (src/VOF.hpp:216-218, 237-248
     compiled out): the advected cell is the PLAIN backtraced quadrilateral —
     no flux-matched face caps, so the polygon volume is not reconciled with
     the discrete face fluxes and the advection picks up an O(dt*div_h)
     volume error per step. Kept for parity experiments; the corrected
     octagon is the production path."""
-    quad_x = jnp.stack([a00x, a10x, a11x, a01x], axis=-1)
-    quad_y = jnp.stack([a00y, a10y, a11y, a01y], axis=-1)
-    pad = jnp.zeros(a00x.shape + (K - 4,), dtype)
-    quad_x = jnp.concatenate([quad_x, pad], axis=-1)
-    quad_y = jnp.concatenate([quad_y, pad], axis=-1)
-    n4 = jnp.full(a00x.shape, 4, jnp.int32)
-    return quad_x, quad_y, n4
+    return [a00x, a10x, a11x, a01x], [a00y, a10y, a11y, a01y]
+
+
+def _pad_slots(slots_x, slots_y, dtype):
+    """Assemble slot lists into the (..., K) AoS buffers of the XLA clip
+    path (tail slots zero, valid count = len(slots))."""
+    n0 = len(slots_x)
+    vx = jnp.stack(slots_x, axis=-1)
+    vy = jnp.stack(slots_y, axis=-1)
+    pad = jnp.zeros(slots_x[0].shape + (K - n0,), dtype)
+    vx = jnp.concatenate([vx, pad], axis=-1)
+    vy = jnp.concatenate([vy, pad], axis=-1)
+    n = jnp.full(slots_x[0].shape, n0, jnp.int32)
+    return vx, vy, n
+
+
+def _build_octagon(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
+                   U_W, U_E, V_S, V_N, dx, dy, dt, dtype):
+    """Octagon (..., K) buffers (XLA clip-path form of _octagon_slots)."""
+    xs, ys = _octagon_slots(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y,
+                            U_W, U_E, V_S, V_N, dx, dy, dt)
+    return _pad_slots(xs, ys, dtype)
+
+
+def _build_quad(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y, dtype):
+    """Quad (..., K) buffers (XLA clip-path form of _quad_slots)."""
+    xs, ys = _quad_slots(a00x, a00y, a10x, a10y, a11x, a11y, a01x, a01y)
+    return _pad_slots(xs, ys, dtype)
 
 
 def _overlap_from_neighbors(oct_x, oct_y, n8, vf_nb, mixed, pnx, pny, pd,
@@ -408,6 +424,49 @@ def _advect_dense(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, pin=None,
     return vf_out, jnp.max(volume_error)
 
 
+# tests force the Pallas overlap kernel on CPU: set to "interpret"
+_PALLAS_OVERRIDE = None
+
+
+def _overlap_sparse(slots_x, slots_y, gathered, dx, dy, dtype):
+    """Overlap accumulation of the sparse path: the fused Pallas kernel
+    (one launch, vof/pallas_advect.py) when available, else the XLA clip
+    chain (~100 launches). Same math, same emission order; differences are
+    float summation-order noise (see pallas_advect module doc)."""
+    from fluidsolver_tpu.constants import vf_cutoffs
+    from fluidsolver_tpu.vof import pallas_advect as pa
+
+    n0 = len(slots_x)
+    m = slots_x[0].shape[0]
+    mode = _PALLAS_OVERRIDE
+    if mode is None:
+        from fluidsolver_tpu.flags import pallas_enabled
+
+        if pallas_enabled("FS_PALLAS_VOF") and pa.available(m, dtype, n0):
+            mode = "tpu"
+    if mode in ("tpu", "interpret"):
+        lo, _ = vf_cutoffs(dtype)
+        return pa.overlap_pallas(
+            jnp.stack(slots_x), jnp.stack(slots_y), gathered,
+            dx=float(dx), dy=float(dy), lo=float(lo),
+            interpret=(mode == "interpret"))
+
+    oct_x, oct_y, n8 = _pad_slots(slots_x, slots_y, dtype)
+    oct_area = _poly_area(oct_x, oct_y, n8)
+    vf_nb = gathered[0]
+    mixed = gathered[1] > 0.5
+    pnx = gathered[2]
+    pny = gathered[3]
+    pd = gathered[4]
+    offs = jnp.asarray(_NEIGHBOR_OFFSETS, dtype)
+    x_lo = (offs[:, 0] * dx)[:, None] * jnp.ones((1, m), dtype)
+    y_lo = (offs[:, 1] * dy)[:, None] * jnp.ones((1, m), dtype)
+    overlap = _overlap_from_neighbors(
+        oct_x, oct_y, n8, vf_nb, mixed, pnx, pny, pd, x_lo, y_lo, dx, dy
+    )
+    return overlap, oct_area
+
+
 def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
                    no_correction: bool = False, staggered: bool = False):
     """Active-cell path: gather the cells that need geometry into ``m``
@@ -451,19 +510,15 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
     ay = AY - y_lo_c[:, None]
 
     if no_correction:
-        oct_x, oct_y, n8 = _build_quad(
+        slots_x, slots_y = _quad_slots(
             ax[:, 0], ay[:, 0], ax[:, 1], ay[:, 1],
-            ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3], dtype)
+            ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3])
     else:
-        oct_x, oct_y, n8 = _build_octagon(
+        slots_x, slots_y = _octagon_slots(
             ax[:, 0], ay[:, 0], ax[:, 1], ay[:, 1], ax[:, 2], ay[:, 2], ax[:, 3], ay[:, 3],
             U[1 + iig, 1 + jjg], U[2 + iig, 1 + jjg], V[1 + iig, 1 + jjg], V[1 + iig, 2 + jjg],
-            dx, dy, dt, dtype,
+            dx, dy, dt,
         )
-
-    oct_area = _poly_area(oct_x, oct_y, n8)
-    cell_area = dx * dy
-    volume_error = jnp.abs(cell_area - jnp.abs(oct_area))
 
     # ---- gathered 3x3 neighborhood: ONE gather for all 5 fields x 9
     # neighbors (45 separate gathers would be 45 XLA kernels; a gather is
@@ -475,18 +530,11 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
     stacked = jnp.stack([vf_old, rec.valid.astype(dtype),
                          rec.nx, rec.ny, rec.d])
     gathered = stacked[:, II, JJ]               # (5, 9, m)
-    vf_nb = gathered[0]
-    mixed = gathered[1] > 0.5
-    pnx = gathered[2]
-    pny = gathered[3]
-    pd = gathered[4]
-    offs = jnp.asarray(_NEIGHBOR_OFFSETS, dtype)
-    x_lo = (offs[:, 0] * dx)[:, None] * jnp.ones((1, m), dtype)
-    y_lo = (offs[:, 1] * dy)[:, None] * jnp.ones((1, m), dtype)
 
-    overlap = _overlap_from_neighbors(
-        oct_x, oct_y, n8, vf_nb, mixed, pnx, pny, pd, x_lo, y_lo, dx, dy
-    )
+    overlap, oct_area = _overlap_sparse(slots_x, slots_y, gathered,
+                                        dx, dy, dtype)
+    cell_area = dx * dy
+    volume_error = jnp.abs(cell_area - jnp.abs(oct_area))
     vf_act = overlap / jnp.where(oct_area == 0.0, 1.0, oct_area)
 
     # ---- assemble: early exits dense, active lanes scattered ---------------

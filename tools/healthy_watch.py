@@ -29,7 +29,8 @@ VARIANTS = [
     ("dense-vof", {"FS_VOF_MAX_ACTIVE": "0"}),
     ("bf16-precond", {"FS_PRECOND_DTYPE": "bfloat16"}),
     ("no-pallas", {"FS_PALLAS_VCYCLE": "0", "FS_PALLAS_MOMENTUM": "0",
-                   "FS_PALLAS_RAP": "0", "FS_PALLAS_CG": "0"}),
+                   "FS_PALLAS_RAP": "0", "FS_PALLAS_CG": "0",
+                   "FS_PALLAS_VOF": "0", "FS_PALLAS_TAIL": "0"}),
 ]
 
 
