@@ -157,23 +157,6 @@ def solve_pcg(
             return v - jnp.mean(v)
         return v
 
-    b = project(b)
-    b_norm = jnp.sqrt(_dot(b, b))
-    safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
-
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
-        r0 = b  # zero initial guess
-    else:
-        x0 = project(x0.astype(b.dtype))
-        r_ws = b - apply_op(op, x0)
-        good = _dot(r_ws, r_ws) < _dot(b, b)
-        x0 = jnp.where(good, x0, jnp.zeros_like(b))
-        r0 = jnp.where(good, r_ws, b)
-    # z0/p0/rz0 are computed below, once the fused-iteration/padded-carry
-    # mode is known (the padded mode runs M^-1 in the band layout so ONE
-    # compiled smoother variant serves the init and every iteration)
-
     # Stagnation guard: in f32 the CG recurrence residual hits a rounding
     # floor (~eps32 * kappa(A) for the strong-jump operator) that can sit
     # ABOVE ``tol`` — without a guard, every such solve burns the full
@@ -189,8 +172,6 @@ def solve_pcg(
     # it is tight — the extra window iterations are cheap next to the
     # hundreds saved per capped solve.
     STAG_WINDOW = 25 if jnp.finfo(b.dtype).bits <= 32 else 100
-
-    rel0 = jnp.sqrt(_dot(r0, r0)) / safe_b_norm
 
     def cond(carry):
         # ``rel`` is carried from the body — no extra reduction pass here
@@ -242,21 +223,39 @@ def solve_pcg(
             return _boxmg.v_cycle(levels, rp, n_pre=n_pre, n_post=n_post,
                                   fine_padded=True)
 
+        # Fused init (pallas_cg.step_init): project(b), <b,b>, the
+        # warm-start residual + accept/reject dots, rel0, sum(r0) — one
+        # banded launch instead of ~10 XLA kernels, all in the padded
+        # layout. z0/p0/rz0 then reuse step_c in its p=None init form
+        # (masked projection in-kernel — the zero-pad invariant holder).
         shape = b.shape
-        x0 = pallas_cg.pad_vec(x0, shape)
-        r0 = pallas_cg.pad_vec(r0, shape)
-        z0 = M_inv_pad(r0)
-        if singular:
-            # masked mean subtraction: an unmasked -mean would break the
-            # zero-pad invariant every banded dot/matvec relies on
-            mean_z = jnp.sum(z0) / (shape[0] * shape[1])
-            rows = jnp.arange(z0.shape[0])[:, None]
-            cols = jnp.arange(z0.shape[1])[None, :]
-            valid = (rows >= 8) & (rows < 8 + shape[0]) & (cols < shape[1])
-            z0 = jnp.where(valid, z0 - mean_z, jnp.zeros((), b.dtype))
-        p0 = z0
-        rz0 = _dot(r0, z0)
+        b_pad = pallas_cg.pad_vec(b, shape)
+        x0_pad = (pallas_cg.pad_vec(x0.astype(b.dtype), shape)
+                  if x0 is not None else None)
+        x0, r0, bb, rr0, sum_r0 = pallas_cg.step_init(
+            op_padded, b_pad, x0_pad, singular=singular, shape=shape)
+        b_norm = jnp.sqrt(bb)
+        safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
+        rel0 = jnp.sqrt(rr0) / safe_b_norm
+        z0, p0, rz0 = pallas_cg.step_c(
+            r0, M_inv_pad(r0), None, jnp.ones((), b.dtype), singular,
+            sum_r=sum_r0, padded_io=True, shape=shape)
     else:
+        b = project(b)
+        b_norm = jnp.sqrt(_dot(b, b))
+        safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+            r0 = b  # zero initial guess
+        else:
+            # warm start, guarded: if ||b - A x0|| > ||b|| the guess is
+            # discarded (one operator application, nothing else)
+            x0 = project(x0.astype(b.dtype))
+            r_ws = b - apply_op(op, x0)
+            good = _dot(r_ws, r_ws) < _dot(b, b)
+            x0 = jnp.where(good, x0, jnp.zeros_like(b))
+            r0 = jnp.where(good, r_ws, b)
+        rel0 = jnp.sqrt(_dot(r0, r0)) / safe_b_norm
         z0 = project(M_inv(r0))
         p0 = z0
         rz0 = _dot(r0, z0)

@@ -163,6 +163,8 @@ def test_pcg_padded_carry_end_to_end(monkeypatch, singular):
                         functools.partial(pc.step_ab, interpret=True))
     monkeypatch.setattr(pc, "step_c",
                         functools.partial(pc.step_c, interpret=True))
+    monkeypatch.setattr(pc, "step_init",
+                        functools.partial(pc.step_init, interpret=True))
     monkeypatch.setattr(pv, "fused_smooth",
                         functools.partial(pv.fused_smooth, interpret=True))
 
@@ -172,3 +174,75 @@ def test_pcg_padded_carry_end_to_end(monkeypatch, singular):
     scale = float(jnp.abs(x_ref).max())
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                atol=2e-4 * scale)
+
+    # warm start through the fused init: a perturbed solution must
+    # converge in fewer iterations and to the same answer
+    x0 = x_ref * jnp.asarray(1.0 + 1e-3, x_ref.dtype)
+    xw, res_w, it_w = cg.solve_pcg(op, b, tol=1e-5, max_iter=100,
+                                   singular=singular, precond="boxmg",
+                                   x0=x0)
+    assert float(res_w) < 1e-5
+    assert int(it_w) < int(it_ref)
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(x_ref),
+                               atol=2e-4 * scale)
+
+
+@pytest.mark.parametrize("singular", [False, True])
+@pytest.mark.parametrize("warm", [False, True])
+def test_step_init_matches_xla(singular, warm):
+    """step_init == the XLA init formulas (f64: identical to rounding;
+    scalars to reduction-order tolerance) + the zero-pad invariant."""
+    op, b, x0, _, _ = _setup(62, 44, seed=17)
+    if singular:
+        # near-singular rhs handling is the solver's job; here any rhs works
+        b = b - jnp.mean(b)
+
+    def project(v):
+        return v - jnp.mean(v) if singular else v
+
+    b1 = project(b)
+    if warm:
+        x1 = project(x0)
+        r_ws = b1 - apply_op(op, x1)
+        good = bool(jnp.sum(r_ws * r_ws) < jnp.sum(b1 * b1))
+        x_ref = np.asarray(jnp.where(good, x1, 0.0))
+        r_ref = np.asarray(jnp.where(good, r_ws, b1))
+    else:
+        x_ref = np.zeros_like(np.asarray(b))
+        r_ref = np.asarray(b1)
+
+    shape = b.shape
+    xp, rp, bb, rr0, sum_r0 = pc.step_init(
+        pc.pad_operator(op, shape), pc.pad_vec(b, shape),
+        pc.pad_vec(x0, shape) if warm else None,
+        singular=singular, shape=shape, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(pc.extract_vec(xp, shape)), x_ref, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(pc.extract_vec(rp, shape)), r_ref, rtol=1e-13, atol=1e-12)
+    np.testing.assert_allclose(float(bb), float(jnp.sum(b1 * b1)), rtol=1e-12)
+    np.testing.assert_allclose(float(rr0), float(np.sum(r_ref * r_ref)),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(float(sum_r0), float(np.sum(r_ref)),
+                               rtol=1e-10, atol=1e-11)
+    for a in (xp, rp):
+        pad_cells = np.asarray(a)[_pad_region_mask(a, shape)]
+        assert np.all(pad_cells == 0.0), "zero-pad invariant broken"
+
+
+@pytest.mark.parametrize("singular", [False, True])
+def test_step_c_p_zero(singular):
+    """step_c(p=None) == step_c with an explicit zero p (the init form)."""
+    op, _, r, _, z_raw = _setup(62, 62, seed=23)
+    one = jnp.ones(())
+    sum_r = jnp.sum(r)
+    rp, zp = (pc.pad_vec(v, r.shape) for v in (r, z_raw))
+    pz = pc.pad_vec(jnp.zeros_like(r), r.shape)
+    ref = pc.step_c(rp, zp, pz, one, singular, sum_r=sum_r,
+                    interpret=True, padded_io=True, shape=r.shape)
+    got = pc.step_c(rp, zp, None, one, singular, sum_r=sum_r,
+                    interpret=True, padded_io=True, shape=r.shape)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
