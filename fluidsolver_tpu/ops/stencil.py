@@ -115,25 +115,42 @@ def sample_centered(field: jnp.ndarray, x0, dx: float, y0, dy: float, px, py):
     return (b - a) / dy * eta + a
 
 
-def sample_centered_stack(fields, x0, dx: float, y0, dy: float, px, py):
+def sample_centered_stack(fields, x0, dx: float, y0, dy: float, px, py,
+                          x_clamp=None):
     """``sample_centered`` for a STACK of same-shape fields (F, nx+2, ny+2)
     at the same points: the 4 corner reads of all F fields collapse into ONE
     gather (each separate gather is its own XLA kernel — 8 gathers per RK4
     backtrace become 1 per stage). Per-element arithmetic is identical to
-    ``sample_centered``. Returns (F,) + px.shape."""
+    ``sample_centered``. Returns (F,) + px.shape.
+
+    ``x_clamp``: shard-local view hook (parallel/dist_vof.py). A tuple
+    (x0_dom, n_dom, i0_loc): ``fields`` is a local x-slab (extended with
+    halo rows) of a GLOBAL array whose interior spans ``n_dom`` cells with
+    first center ``x0_dom``; global interior cell 0 sits at local interior
+    index ``i0_loc``. The clamp conditions then evaluate against the
+    GLOBAL domain (so constant extrapolation at physical boundaries
+    matches the single-device sampler), while indices stay local. None =
+    single-device behavior (clamp to this array's own extent)."""
     nxi = fields.shape[1] - 2
     nyi = fields.shape[2] - 2
 
-    def indices(pos, g0, delta, n):
+    def indices(pos, g0, delta, n, clamp=None):
         prev = jnp.floor((pos - g0) / delta).astype(jnp.int32)
         nxt = jnp.floor((pos - g0) / delta + 1.0).astype(jnp.int32)
-        lo = (pos <= g0) | (prev < 0)
-        hi = (pos >= g0 + (n - 1) * delta) | (nxt >= n)
-        prev = jnp.where(lo, 0, jnp.where(hi, n - 1, prev))
-        nxt = jnp.where(lo, 0, jnp.where(hi, n - 1, nxt))
+        if clamp is None:
+            lo = (pos <= g0) | (prev < 0)
+            hi = (pos >= g0 + (n - 1) * delta) | (nxt >= n)
+            lo_i, hi_i = 0, n - 1
+        else:
+            g0d, n_dom, i0 = clamp
+            lo = (pos <= g0d) | (prev < i0)
+            hi = (pos >= g0d + (n_dom - 1) * delta) | (nxt >= i0 + n_dom)
+            lo_i, hi_i = i0, i0 + n_dom - 1
+        prev = jnp.where(lo, lo_i, jnp.where(hi, hi_i, prev))
+        nxt = jnp.where(lo, lo_i, jnp.where(hi, hi_i, nxt))
         return prev, nxt
 
-    ip, inx = indices(px, x0, dx, nxi)
+    ip, inx = indices(px, x0, dx, nxi, x_clamp)
     jp, jnx = indices(py, y0, dy, nyi)
 
     I = jnp.stack([ip, inx, ip, inx]) + 1      # (4,) + px.shape

@@ -93,10 +93,19 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
 
     # Sparse VOF's global lane indices force GSPMD to all-gather full
     # fields on every device (measured: tools/collective_census.py flagged
-    # 20 full-field all-gathers, all from the lane gather/scatter). The
-    # dense path is pure stencil math and partitions elementwise, so a
-    # mesh forces it; single-device keeps the sparse launch-count win.
+    # 20 full-field all-gathers, all from the lane gather/scatter). Under a
+    # mesh the sparse ADVECTION (the 5.5x dense-vs-sparse stage, PERF.md)
+    # therefore runs as an explicit shard_map with per-shard lane
+    # compaction (parallel/dist_vof.py); elvira/curvature stay dense there
+    # (pure stencil math, partitions elementwise). Single-device keeps the
+    # sparse path everywhere.
     vof_budget = 0 if mesh is not None else cfg.vof_max_active
+    vof_sharded = False
+    if mesh is not None and cfg.vof_max_active != 0 \
+            and not cfg.vof_staggered_backtrace:
+        from fluidsolver_tpu.parallel import dist_vof
+
+        vof_sharded = dist_vof.available(grid, mesh.shape["x"])
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -300,13 +309,23 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
         # geometric VOF advection with the current velocity
         Ui = stencil.interp_u_center(fs.U)
         Vi = stencil.interp_v_center(fs.V)
-        vf, vol_err = adv.advect(
-            vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt,
-            max_active=vof_budget,
-            pin=_constrain if mesh is not None else None,
-            no_correction=cfg.vof_no_correction,
-            staggered=cfg.vof_staggered_backtrace,
-        )
+        if vof_sharded:
+            from fluidsolver_tpu.parallel import dist_vof
+
+            vf, vol_err = dist_vof.advect_sharded(
+                mesh, vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt,
+                m_total=(cfg.vof_max_active
+                         or adv.default_max_active(grid.nx, grid.ny)),
+                no_correction=cfg.vof_no_correction,
+            )
+        else:
+            vf, vol_err = adv.advect(
+                vf_old, rec, fs.U, fs.V, Ui, Vi, grid, dt,
+                max_active=vof_budget,
+                pin=_constrain if mesh is not None else None,
+                no_correction=cfg.vof_no_correction,
+                staggered=cfg.vof_staggered_backtrace,
+            )
         # a reconstruction lane overflow also invalidates the advection
         vol_err = jnp.where(rec.overflow, jnp.inf, vol_err)
 

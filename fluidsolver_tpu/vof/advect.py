@@ -55,22 +55,35 @@ K = 16  # vertex buffer size: octagon (8) + 4 rect clips + PLIC clip <= 13
 
 
 # ---- point backtracking (src/VOF.hpp:66-85) -------------------------------
-def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt, lattice: bool = False):
+def backtrack_rk4(px, py, Ui, Vi, grid: Grid, dt, lattice: bool = False,
+                  shard=None):
     """RK4 backward trace through the cell-centered interpolated velocity.
 
     ``lattice=True``: the points are the full (nx+1, ny+1) interior corner
     lattice (dense advection) — use the gather-free shifted-view sampler
-    (bit-identical; see stencil.sample_centered_stack_lattice)."""
+    (bit-identical; see stencil.sample_centered_stack_lattice).
+
+    ``shard``: shard-local view (parallel/dist_vof.ShardView): Ui/Vi are
+    halo-extended local x-slabs; sample with a shard-shifted origin and
+    GLOBAL domain clamp (stencil.sample_centered_stack x_clamp)."""
     # Python floats (weak-typed), NOT numpy f64 scalars: under enabled x64 a
     # numpy scalar would promote the whole f32 backtrack (and hence vf) to f64
     x0 = float(grid.xm[1])
     y0 = float(grid.ym[1])
+    x_clamp = None
+    if shard is not None:
+        x_clamp = (x0, grid.nx, -shard.row_off)
+        x0 = x0 + shard.row_off.astype(px.dtype) * grid.dx
     # one gather per RK stage instead of eight (u+v, 4 corners each)
     UiVi = jnp.stack([Ui, Vi])
     sample = sample_centered_stack_lattice if lattice else sample_centered_stack
 
     def vel(x, y):
-        uv = sample(UiVi, x0, grid.dx, y0, grid.dy, x, y)
+        if lattice:
+            uv = sample(UiVi, x0, grid.dx, y0, grid.dy, x, y)
+        else:
+            uv = sample(UiVi, x0, grid.dx, y0, grid.dy, x, y,
+                        x_clamp=x_clamp)
         return uv[0], uv[1]
 
     u1, v1 = vel(px, py)
@@ -468,20 +481,37 @@ def _overlap_sparse(slots_x, slots_y, gathered, dx, dy, dtype):
 
 
 def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
-                   no_correction: bool = False, staggered: bool = False):
+                   no_correction: bool = False, staggered: bool = False,
+                   shard=None):
     """Active-cell path: gather the cells that need geometry into ``m``
     lanes, run the identical octagon/clip pipeline there, scatter back.
 
     Per-cell arithmetic is bit-identical to the dense path (same formulas on
     the same inputs, same 9-neighbor summation order); only the batching
     differs. Padding lanes read clamped garbage and are dropped on scatter;
-    a lane-count overflow surfaces as an ``inf`` volume error."""
-    nx, ny = grid.nx, grid.ny
+    a lane-count overflow surfaces as an ``inf`` volume error.
+
+    ``shard``: shard-local view (parallel/dist_vof.ShardView) — all arrays
+    are halo-extended local x-slabs of the global fields; lanes are
+    compacted from the shard's OWNED cell rows only, grid-coordinate
+    lookups use global indices (local + row_off), and the backtrace
+    samples with the global domain clamp. ``m`` is then the per-shard
+    budget."""
+    # local interior dims from the arrays (== grid dims single-device;
+    # the extended slab dims under a shard view)
+    nx, ny = vf_old.shape[0] - 2, vf_old.shape[1] - 2
     dx, dy = grid.dx, grid.dy
     dtype = vf_old.dtype
 
     all_gas, all_liq = _classify(vf_old, nx, ny, dtype)
     active = ~(all_gas | all_liq)
+    if shard is not None:
+        # each global cell is owned by exactly one shard; halo cells are
+        # computed (and scattered) by their owner
+        ig_rows = jnp.arange(nx, dtype=jnp.int32) + shard.row_off
+        owned = (ig_rows >= shard.own_lo) & (ig_rows < shard.own_hi) \
+            & (ig_rows >= 0) & (ig_rows < grid.nx)
+        active = active & owned[:, None]
     n_active = jnp.sum(active)
     # fill index is far out of bounds so the final scatter (mode="drop")
     # discards those lanes; all GATHERS go through the clamped copies so the
@@ -494,17 +524,25 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
     # ---- per-active-cell corners, backtracked ------------------------------
     gx = jnp.asarray(grid.x[1:-1], dtype)  # corner coords, faces 0..nx
     gy = jnp.asarray(grid.y[1:-1], dtype)
-    x_lo_c = gx[iig]
-    x_hi_c = gx[iig + 1]
+    if shard is not None:
+        ig = jnp.clip(iig + shard.row_off, 0, grid.nx - 1)
+    else:
+        ig = iig
+    x_lo_c = gx[ig]
+    x_hi_c = gx[ig + 1]
     y_lo_c = gy[jjg]
     y_hi_c = gy[jjg + 1]
     # 4 corners per lane: (m, 4) with order p00, p10, p11, p01
     px = jnp.stack([x_lo_c, x_hi_c, x_hi_c, x_lo_c], axis=-1)
     py = jnp.stack([y_lo_c, y_lo_c, y_hi_c, y_hi_c], axis=-1)
     if staggered:
+        if shard is not None:
+            raise NotImplementedError(
+                "vof_staggered_backtrace is an A/B debug flag; the sharded "
+                "sparse path supports the production cell-centered trace")
         AX, AY = backtrack_rk4_staggered(px, py, U, V, grid, dt)
     else:
-        AX, AY = backtrack_rk4(px, py, Ui, Vi, grid, dt)
+        AX, AY = backtrack_rk4(px, py, Ui, Vi, grid, dt, shard=shard)
     # cell-local coordinates (origin = lower-left corner)
     ax = AX - x_lo_c[:, None]
     ay = AY - y_lo_c[:, None]
@@ -541,6 +579,12 @@ def _advect_sparse(vf_old, rec: Plic, U, V, Ui, Vi, grid: Grid, dt, m: int,
     vf_new = jnp.where(all_liq, 1.0, jnp.zeros((nx, ny), dtype))
     vf_new = vf_new.at[ii, jj].set(vf_act, mode="drop")
     vf_out = set_interior(vf_old, vf_new)
+    if shard is not None:
+        # non-owned cells (halo rows, pseudo-cells beyond the grid) keep
+        # their input values — their owner shard computes them
+        owned_full = jnp.pad(jnp.broadcast_to(owned[:, None], (nx, ny)),
+                             ((1, 1), (1, 1)))
+        vf_out = jnp.where(owned_full, vf_out, vf_old)
 
     lane_valid = jnp.arange(m) < n_active
     vol_err = jnp.max(jnp.where(lane_valid, volume_error, 0.0))

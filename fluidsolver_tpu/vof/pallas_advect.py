@@ -81,7 +81,13 @@ def _clip(xs, ys, n, a, b, c):
     xn = _next(xs, n, ns)
     yn = _next(ys, n, ns)
     dn = _next(ds, n, ns)
-    inn = _next(inside, n, ns)
+    # next-vertex inside flag from the SHIFTED d values, not a bool-payload
+    # select (_next on a bool list): Mosaic stages i1 payloads through i8
+    # and cannot truncate back (trunci i8->i1 is unsupported). The next
+    # slot of a valid slot is always valid (j = (i+1) mod n < n), so the
+    # valid mask is carried by the `& valid[i]` on the emit flag alone —
+    # identical emission to the XLA path's masked _next_vertex(inside).
+    inn = [d <= 0.0 for d in dn]
 
     # interleaved candidates: slot 2i = vertex i, slot 2i+1 = intersection
     # on edge i (identical emission order to advect._clip_halfplane)
@@ -97,27 +103,29 @@ def _clip(xs, ys, n, a, b, c):
         cand_y.append(ys[i] + t * (yn[i] - ys[i]))
         flags.append((inside[i] ^ inn[i]) & valid[i])
 
-    # stable compaction: exclusive prefix positions of the emitted items
-    pos = []
+    # stable compaction: exclusive prefix positions of the emitted items,
+    # encoded as int32 slots (-1 = not emitted) so the stacked scatter
+    # below never materializes a >2D bool tensor (Mosaic cannot truncate
+    # a stacked i8 mask back to i1)
+    sel = []
     run = jnp.zeros_like(n)
     for f in flags:
-        pos.append(run)
+        sel.append(jnp.where(f, run, -1))
         run = run + f.astype(n.dtype)
     new_n = run
 
     # select-scatter, vectorized over the candidate axis: at most one
     # candidate hits each output slot (positions are strictly increasing at
     # emitted candidates), so the masked sum IS the select chain — but as
-    # ~6 wide ops per output slot instead of ~2*ns register selects each
+    # ~4 wide ops per output slot instead of ~2*ns register selects each
     # (the fully-unrolled form compiles >100x slower in XLA and Mosaic)
     cx = jnp.stack(cand_x)
     cy = jnp.stack(cand_y)
-    fl = jnp.stack(flags)
-    ps = jnp.stack(pos)
+    sl = jnp.stack(sel)
     out_ns = ns + 1
     out_x, out_y = [], []
     for k in range(out_ns):
-        hit = fl & (ps == k)
+        hit = sl == k
         out_x.append(jnp.sum(jnp.where(hit, cx, 0.0), axis=0))
         out_y.append(jnp.sum(jnp.where(hit, cy, 0.0), axis=0))
     return out_x, out_y, new_n

@@ -14,17 +14,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from verify_laminar_channel import load_last_step_h5  # noqa: E402
+from verify_laminar_channel import load_last_step  # noqa: E402
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("output_dir")
+    ap.add_argument("--format", choices=["auto", "xdmf", "vtk"], default="auto")
     ap.add_argument("--u-top", type=float, default=1.0)
     ap.add_argument("--tol", type=float, default=1e-5)
     args = ap.parse_args()
 
-    x, y, u, _ = load_last_step_h5(args.output_dir)
+    x, y, u, _ = load_last_step(args.output_dir, args.format)
     dy = y[1] - y[0]
     y0 = y[0] - dy / 2
     height = (y[-1] + dy / 2) - y0

@@ -31,16 +31,41 @@ def load_last_step_h5(output_dir):
     return x, y, u, p
 
 
+def load_last_step_vtk(output_dir):
+    """VTK-reader variant (reference: verify_laminar_channel_vtk.py /
+    verify_couette_vtk.py read the legacy VTK output with the vtk
+    package; vtk_reader.py parses our io/vtk.py format with numpy)."""
+    from vtk_reader import last_vtk_file, read_structured_grid
+
+    d = read_structured_grid(last_vtk_file(output_dir))
+    return (d["x"], d["y"], d["vectors"]["velocity"][..., 0],
+            d["scalars"]["pressure"])
+
+
+def load_last_step(output_dir, fmt="auto"):
+    """fmt in {"auto", "xdmf", "vtk"}: auto prefers HDF5, falls back to
+    VTK — so both writer formats are verifiable like the reference's
+    per-check _vtk/_xdmf script pairs."""
+    if fmt == "xdmf":
+        return load_last_step_h5(output_dir)
+    if fmt == "vtk":
+        return load_last_step_vtk(output_dir)
+    if os.path.exists(os.path.join(output_dir, "data.h5")):
+        return load_last_step_h5(output_dir)
+    return load_last_step_vtk(output_dir)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("output_dir")
+    ap.add_argument("--format", choices=["auto", "xdmf", "vtk"], default="auto")
     ap.add_argument("--visc", type=float, default=1e-3)
     ap.add_argument("--tol", type=float, default=7.5e-3)
     ap.add_argument("--x-frac", type=float, default=0.7,
                     help="check the profile at this fraction of the channel length")
     args = ap.parse_args()
 
-    x, y, u, p = load_last_step_h5(args.output_dir)
+    x, y, u, p = load_last_step(args.output_dir, args.format)
     dx = x[1] - x[0]
     i = int(args.x_frac * len(x))
     dpdx = (p[i + 1, :] - p[i, :]).mean() / dx

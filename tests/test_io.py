@@ -114,3 +114,34 @@ def test_save_cadence():
     saves = [t for t in np.arange(0.02, 1.02, 0.02) if sc(float(t), 0.02)]
     # roughly every 0.1
     assert 9 <= len(saves) <= 12
+
+
+def test_vtk_reader_roundtrip(tmp_path):
+    """python/vtk_reader.py parses io/vtk.py's output exactly (the VTK
+    half of the reference's per-check _vtk/_xdmf verifier pairs)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "python"))
+    from vtk_reader import last_vtk_file, read_structured_grid
+
+    g = make_grid(0.0, 2.0, 8, 0.0, 1.0, 6)
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(rng.normal(size=(10, 8)))
+    u = jnp.asarray(rng.normal(size=(10, 8)))
+    v = jnp.asarray(rng.normal(size=(10, 8)))
+    w = VTKWriter(str(tmp_path), g)
+    w.add_scalar("pressure", lambda: p)
+    w.add_vector("velocity", lambda: u, lambda: v)
+    w.write(0.25)
+    w.write(0.75)
+
+    d = read_structured_grid(last_vtk_file(str(tmp_path)))
+    assert d["time"] == 0.75
+    np.testing.assert_allclose(d["x"], g.xm[1:-1])
+    np.testing.assert_allclose(d["y"], g.ym[1:-1])
+    np.testing.assert_array_equal(d["scalars"]["pressure"],
+                                  np.asarray(p)[1:-1, 1:-1])
+    np.testing.assert_array_equal(d["vectors"]["velocity"][..., 0],
+                                  np.asarray(u)[1:-1, 1:-1])
+    np.testing.assert_array_equal(d["vectors"]["velocity"][..., 1],
+                                  np.asarray(v)[1:-1, 1:-1])

@@ -1,12 +1,24 @@
-"""Diffuse-IB DFG 2D-1 convergence study (VERDICT r2 #6).
+"""Diffuse-IB DFG 2D-1 convergence study (VERDICT r2 #6, r3 #5).
 
-Runs the diffuse-IB cylinder at increasing resolution to quasi-steady
-(t=1.5, Re=20) and prints C_D / C_L / dp per level with both evaluators.
-Diffuse (volume-fraction penalty) IB smears the cylinder over ~1 cell, so
-first-order boundary error is expected: this study measures the actual
-trend toward the Schäfer–Turek band (C_D 5.57-5.59, dp 0.1172-0.1176)
-so tests/test_dfg.py can pin resolution-appropriate bands instead of the
-round-2 ±40% non-band.
+Runs the diffuse-IB cylinder at increasing resolution to steady state and
+prints C_D / C_L / dp per level with both evaluators. Diffuse
+(volume-fraction penalty) IB smears the cylinder over ~1 cell, so
+first-order boundary error is expected; this study measures the actual
+trend toward the Schäfer–Turek band (C_D 5.57-5.59, dp 0.1172-0.1176).
+
+Round-3 lesson: the r2 study stopped at t=1.5 — DFG 2D-1 is a STEADY
+benchmark and the reference integrates to T_END = 8.0
+(examples/DFGBenchmarkSetup.hpp:38); at t=1.5 the impulsive-start drag
+transient is still decaying, which is what produced the non-monotone
+per-resolution values test_dfg.py used to document. This version runs to
+t=8.0 (override via --t-end) and prints an intermediate readout at t=4
+so steadiness is visible.
+
+Usage: python tools/dfg_diffuse_study.py [--tpu] [--t-end 8.0] [ny ...]
+CPU by default (f32); --tpu runs on the real chip (much faster at
+ny>=128). Solid fractions are already quadrature-exact
+(ib/diffuse.solid_fractions, 16-pt Gauss — reference
+examples/DiffuseIB.cpp:222-238).
 """
 
 from __future__ import annotations
@@ -19,32 +31,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
-from fluidsolver_tpu.cases import dfg, get_case  # noqa: E402
 
+def run_level(ny: int, t_end: float, max_steps: int = 100_000):
+    import jax.numpy as jnp
 
-def run_level(ny: int, t_end: float = 1.5, max_steps: int = 4000):
+    from fluidsolver_tpu.cases import dfg, get_case
+
     case = get_case("diffuse_ib_dfg", ny=ny, benchmark=1)
     g = case.grid
-    state = case.make_state()
+    state = case.make_state(dtype=jnp.float32)
     step = case.make_step()
     t0 = time.time()
     n = 0
+
+    def readout(tag):
+        um = dfg.u_mean(1, float(state.t))
+        cd = float(dfg.calc_c_d(state.p, state.U, g, um))
+        cds = float(dfg.calc_c_d_surface(state.p, state.U, state.V, g, um))
+        cls = float(dfg.calc_c_l_surface(state.p, state.U, state.V, g, um))
+        dp = float(dfg.calc_p_diff(state.p, g))
+        print(f"ny={ny:4d} {tag} steps={n:6d} t={float(state.t):.3f} "
+              f"C_D(row)={cd:.4f} C_D(surf)={cds:.4f} C_L(surf)={cls:.5f} "
+              f"dp={dp:.5f}  wall={time.time()-t0:.0f}s", flush=True)
+
+    mid = t_end / 2.0
+    while float(state.t) < mid and n < max_steps:
+        state = step(state, mid)
+        n += 1
+    readout("mid   ")
     while float(state.t) < t_end and n < max_steps:
         state = step(state, t_end)
         n += 1
-    um = dfg.u_mean(1, float(state.t))
-    cd = float(dfg.calc_c_d(state.p, state.U, g, um))
-    cds = float(dfg.calc_c_d_surface(state.p, state.U, state.V, g, um))
-    cls = float(dfg.calc_c_l_surface(state.p, state.U, state.V, g, um))
-    dp = float(dfg.calc_p_diff(state.p, g))
-    print(f"ny={ny:4d} steps={n:5d} t={float(state.t):.3f} "
-          f"C_D(row)={cd:.4f} C_D(surf)={cds:.4f} C_L(surf)={cls:.5f} "
-          f"dp={dp:.5f}  wall={time.time()-t0:.0f}s", flush=True)
+    readout("steady")
 
 
 if __name__ == "__main__":
-    levels = [int(a) for a in sys.argv[1:]] or [48, 64, 96, 128]
+    argv = [a for a in sys.argv[1:] if a != "--tpu"]
+    t_end = 8.0
+    if "--t-end" in argv:
+        i = argv.index("--t-end")
+        t_end = float(argv[i + 1])
+        del argv[i:i + 2]
+    levels = [int(a) for a in argv] or [48, 64, 96, 128, 192, 256]
     for ny in levels:
-        run_level(ny)
+        run_level(ny, t_end)
