@@ -35,46 +35,57 @@ if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
 
-def run_level(ny: int, t_end: float, max_steps: int = 100_000):
+def run_level(ny: int, t_end: float, max_steps: int = 100_000,
+              dtype=None):
     import jax.numpy as jnp
 
     from fluidsolver_tpu.cases import dfg, get_case
 
     case = get_case("diffuse_ib_dfg", ny=ny, benchmark=1)
     g = case.grid
-    state = case.make_state(dtype=jnp.float32)
+    state = case.make_state(dtype=dtype or jnp.float32)
     step = case.make_step()
     t0 = time.time()
     n = 0
 
     def readout(tag):
+        import jax.numpy as jnp
+
         um = dfg.u_mean(1, float(state.t))
+        umax = float(jnp.max(jnp.abs(state.U)))
         cd = float(dfg.calc_c_d(state.p, state.U, g, um))
         cds = float(dfg.calc_c_d_surface(state.p, state.U, state.V, g, um))
         cls = float(dfg.calc_c_l_surface(state.p, state.U, state.V, g, um))
         dp = float(dfg.calc_p_diff(state.p, g))
         print(f"ny={ny:4d} {tag} steps={n:6d} t={float(state.t):.3f} "
               f"C_D(row)={cd:.4f} C_D(surf)={cds:.4f} C_L(surf)={cls:.5f} "
-              f"dp={dp:.5f}  wall={time.time()-t0:.0f}s", flush=True)
+              f"dp={dp:.5f} max|U|={umax:.4f}  wall={time.time()-t0:.0f}s",
+              flush=True)
 
-    mid = t_end / 2.0
-    while float(state.t) < mid and n < max_steps:
-        state = step(state, mid)
-        n += 1
-    readout("mid   ")
-    while float(state.t) < t_end and n < max_steps:
-        state = step(state, t_end)
-        n += 1
-    readout("steady")
+    for frac, tag in ((0.25, "t/4   "), (0.5, "mid   "), (0.75, "3t/4  "),
+                      (1.0, "steady")):
+        tcut = frac * t_end
+        while float(state.t) < tcut and n < max_steps:
+            state = step(state, tcut)
+            n += 1
+        readout(tag)
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--tpu"]
+    argv = [a for a in sys.argv[1:] if a not in ("--tpu", "--f64")]
     t_end = 8.0
     if "--t-end" in argv:
         i = argv.index("--t-end")
         t_end = float(argv[i + 1])
         del argv[i:i + 2]
     levels = [int(a) for a in argv] or [48, 64, 96, 128, 192, 256]
+    dtype = None
+    if "--f64" in sys.argv:
+        import fluidsolver_tpu
+
+        fluidsolver_tpu.enable_x64()
+        import jax.numpy as jnp
+
+        dtype = jnp.float64
     for ny in levels:
-        run_level(ny, t_end)
+        run_level(ny, t_end, dtype=dtype)
