@@ -683,9 +683,14 @@ def v_cycle(levels: list[BoxLevel], b: jnp.ndarray, n_pre: int = 1,
         if fine_padded and lvl == 0:
             from fluidsolver_tpu.poisson import pallas_vcycle as pv
 
-            assert level.tail is None and level.tr_fine is not None \
-                and level.banded is not None, \
-                "fine_padded requires the fused fine level (cg gates this)"
+            # hard precondition, not an assert (asserts vanish under -O):
+            # a raw-layout b in here would silently smooth garbage rows
+            if (level.tail is not None or level.tr_fine is None
+                    or level.banded is None):
+                raise ValueError(
+                    "v_cycle(fine_padded=True) requires the fused fine "
+                    "level (no tail, packed transfers, pre-padded bands) "
+                    "— cg.solve_pcg's padded_carry gate enforces this")
             x, bc = pv.fused_smooth(
                 level.op, b_l, colors=(True, False) * n_pre,
                 tr_planes=level.tr_fine, restrict=True,
