@@ -183,13 +183,23 @@ def _make_kernel(B, W, Nc_pad, M, C, dx, dy, rho_eps, gx, gy, dtype,
             *vals, dt, dx, dy, rho_eps, gx, gy,
             n_u_rows, n_c_rows, M, start,
         )
-        # full-slab writes to per-band HBM outputs (windowed VMEM sub-refs
-        # must be tile-aligned in both dims); interiors extracted in XLA
+        # PRE-ALIGNED flat outputs: each band DMAs its own B interior rows
+        # to rows [row0, row0+B) of a flat (Nc_pad, C) buffer, so the
+        # wrapper extract is a plain slice. (The old per-band (n_bands,
+        # Rr, C) outputs forced an XLA slice+concat chain per output —
+        # ~16 dynamic-update-slices x 4 outputs x 5 subiters ~ 300
+        # launches/step at 1024^2, the single biggest block of the
+        # round-4 step census.) Both offsets are 8-aligned: row0 = band*B
+        # (B a multiple of 8) and off = row0 - start with start 8-aligned,
+        # so the VMEM sub-ref and the HBM window satisfy Mosaic tiling.
+        off = pl.multiple_of(row0 - start, 8)
         outs_dma = []
         for k in range(N_OUT):
             out_scr[k][:] = res[k]
             outs_dma.append(pltpu.make_async_copy(
-                out_scr[k], outs[k].at[band], sem_out.at[k]
+                out_scr[k].at[pl.ds(off, B)],
+                outs[k].at[pl.ds(row0, B)],
+                sem_out.at[k],
             ))
         for d in outs_dma:
             d.start()
@@ -286,7 +296,7 @@ def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((n_bands, W + 8, C_pad), dtype) for _ in range(4)
+        jax.ShapeDtypeStruct((Nc_pad, C_pad), dtype) for _ in range(4)
     )
     scratch = (
         [pltpu.VMEM((W + 8, C_pad), dtype) for _ in range(16)]
@@ -308,15 +318,9 @@ def fused_momentum(U, V, U_old, V_old, rho_u_old, rho_v_old, rho_u, rho_v,
         interpret=interpret,
     )(dt_arr, *args)
 
-    def extract(bands):
-        parts = []
-        for bnd in range(n_bands):
-            row0 = bnd * B
-            start = min(max(row0 - 8, 0), Nc_pad - W)
-            parts.append(bands[bnd, row0 - start:row0 - start + B])
-        return jnp.concatenate(parts, axis=0)
-
-    rho_u_new, rho_v_new, U_new, V_new = map(extract, res)
+    # outputs are written pre-aligned (rows [0, Nc_pad)) in-kernel; the
+    # extraction below is plain slicing that fuses into the consumers
+    rho_u_new, rho_v_new, U_new, V_new = res
     # bands cover rows [0, Nc_pad); the last U-shaped row (index Nc, a ghost
     # row the updates must keep at its base value) is appended from the base
     return (
