@@ -537,16 +537,24 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
         # coarse sweeps + PCG
         done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST or direct
         nxt = None
+        packed = None
         if done:
             tr = None
         elif _rap_fused_ok(shape, dtype):
             from fluidsolver_tpu.poisson import pallas_rap
 
-            tr, nxt = pallas_rap.fused_rap(cur)
+            # fused setup also returns the PACKED transfer planes built
+            # canvas-side (one masked select each) — attaching them here
+            # lets _attach_fused_vcycle skip the 8-unpack + 12-reshape
+            # pack_transfer per level
+            tr, nxt, packed = pallas_rap.fused_rap(cur)
+            if not _tr_fine_wanted():
+                packed = None
         else:
             tr = collapse_weights(cur)
         levels.append(BoxLevel(
             op=cur, red=_checkerboard(shape, dtype), tr=tr,
+            tr_fine=packed,
         ))
         if done:
             levels = _attach_fused_vcycle(levels)
@@ -610,7 +618,9 @@ def _attach_fused_vcycle(levels):
                 tail_lvl = lvl
                 break
     for lvl in range(tail_lvl):
-        if levels[lvl].tr is not None:
+        # the fused-RAP build already attached canvas-built packed planes
+        # (bit-identical, ~2 fusions instead of ~20) — keep them
+        if levels[lvl].tr is not None and levels[lvl].tr_fine is None:
             levels[lvl].tr_fine = pv.pack_transfer(
                 levels[lvl].tr, levels[lvl].op.aC.shape)
     if tail_lvl < len(levels):

@@ -87,6 +87,39 @@ def _safe(d):
     return jnp.where(d == 0.0, 1.0, d)
 
 
+def _packed_transfer_from_canvas(planes, Nc, Mc, dtype):
+    """(planeU, planeV) == pallas_vcycle.pack_transfer(tr, ...) rebuilt
+    straight from the extracted canvas planes: the canvas already stores
+    every weight at its fine-space parity position (_SLOTS), so each
+    packed plane is one masked select of (±1-shifted) canvas crops —
+    bit-identical values, ~2 fusions instead of 8 slot unpacks + 12
+    interleave reshapes per level at hierarchy-build time."""
+    rows, cols = 2 * Nc, 2 * Mc
+
+    def crop(p, dr, dc):
+        # value at target (i, j) = p[i + dr, PAD + j + dc]
+        a = p[dr:dr + rows, PAD + dc:PAD + dc + cols]
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) % 2
+    jj = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) % 2
+    p0 = crop(planes[0], 0, 0)
+    # planeU = interleave(pE, pS, pW, pN); slots: pE=(1,1,0), pS=(0,0,1),
+    # pW=(0,1,0), pN=(1,0,1)
+    p1_dn = crop(planes[1], 1, 0)
+    p1_up = jnp.pad(crop(planes[1], 0, 0)[:-1], ((1, 0), (0, 0)))
+    planeU = jnp.where((ii == 0) & (jj == 0), p1_dn,
+                       jnp.where((ii == 1) & (jj == 1), p1_up, p0))
+    # planeV = interleave(pNE, pSE, pNW, pSW); slots: pNE=(3,1,1),
+    # pSE=(1,1,1), pNW=(2,1,1), pSW=(0,1,1)
+    planeV = jnp.where(
+        (ii == 0) & (jj == 0), crop(planes[3], 1, 1),
+        jnp.where((ii == 0) & (jj == 1), crop(planes[1], 1, 0),
+                  jnp.where((ii == 1) & (jj == 0), crop(planes[2], 0, 1),
+                            p0)))
+    return planeU.astype(dtype), planeV.astype(dtype)
+
+
 def _make_kernel(ncoef, B, W, M_total, dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -220,8 +253,7 @@ def fused_rap(op, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from fluidsolver_tpu.poisson.boxmg import (BoxTransfer, Stencil9,
-                                               _pad_to)
+    from fluidsolver_tpu.poisson.boxmg import BoxTransfer, Stencil9
 
     is9 = isinstance(op, Stencil9)
     ncoef = 9 if is9 else 5
@@ -277,36 +309,51 @@ def fused_rap(op, interpret=False):
 
     planes = [extract(res[k]) for k in range(N_PLANES)]
 
-    # Parity unpack via ONE layout-change reshape per plane + static
-    # indexing. The naive a[p::2, PAD+q::2] stride-2 slices lower to
-    # catastrophically slow TPU gathers: measured 43 ms for the 17 slices
-    # of a 1026^2 level vs ~the bandwidth cost for this form (PAD is even,
-    # so column parity over the full lane span equals q).
+    # BATCHED parity unpack: one stack + one transpose + one crop produce
+    # ALL 20 (plane, p, q) slots as free leading-dim views — instead of
+    # ~2 layout ops per slot (the round-3 form: 17 reshft slices + pads,
+    # ~30 real kernels/level of the hierarchy's launch budget). The naive
+    # a[p::2, PAD+q::2] stride-2 slices remain catastrophically slow TPU
+    # gathers (43 ms/level measured) — never reintroduce them. PAD is
+    # even, so column parity over the full lane span equals q.
     assert PAD % 2 == 0
     R = (N + 2 + 1) // 2
+    M2 = M_total // 2
 
-    def plane4(a):
-        a = jnp.pad(a, ((0, 2 * R - a.shape[0]), (0, 0)))
-        return a.reshape(R, 2, M_total // 2, 2)
+    stack5 = jnp.stack(planes)                       # (5, N+2, M_total)
+    stack5 = jnp.pad(stack5, ((0, 0), (0, 2 * R - (N + 2)), (0, 0)))
+    t20 = (stack5.reshape(N_PLANES, R, 2, M2, 2)
+           .transpose(0, 2, 4, 1, 3)
+           .reshape(N_PLANES * 4, R, M2))
+    # one batched crop to (Nc, Mc); R >= Nc and M2 >= PAD//2 + Mc always
+    t20 = t20[:, :Nc, PAD // 2:PAD // 2 + Mc]
 
-    planes4 = [plane4(a) for a in planes]
-
-    def unpack(name):
+    def slot(name):
         plane, p, q = _SLOTS[name]
-        v = planes4[plane][:, p, :, q][:Nc, PAD // 2:PAD // 2 + Mc]
-        return _pad_to(v, (Nc, Mc))
+        return t20[plane * 4 + p * 2 + q]
 
-    tr = BoxTransfer(**{name: unpack(name) for name in _W_NAMES})
+    tr = BoxTransfer(**{name: slot(name) for name in _W_NAMES})
 
     from jax import lax
-    I = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
-    J = lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
     from fluidsolver_tpu.poisson.boxmg import _A_OFFSETS
 
-    def coef(name):
-        DK, DL = _A_OFFSETS[name]
-        valid = (I + DK >= 0) & (I + DK < Nc) & (J + DL >= 0) & (J + DL < Mc)
-        return jnp.where(valid, unpack(name), 0.0)
+    # coarse coefficients: batched validity mask (out-of-grid neighbor
+    # offsets zeroed) over one stacked where
+    idx9 = jnp.asarray([_SLOTS[n][0] * 4 + _SLOTS[n][1] * 2 + _SLOTS[n][2]
+                        for n in _C_ORDER], jnp.int32)
+    offs = jnp.asarray([_A_OFFSETS[n] for n in _C_ORDER], jnp.int32)
+    I = lax.broadcasted_iota(jnp.int32, (1, Nc, Mc), 1)
+    J = lax.broadcasted_iota(jnp.int32, (1, Nc, Mc), 2)
+    IK = I + offs[:, 0][:, None, None]
+    JL = J + offs[:, 1][:, None, None]
+    valid = (IK >= 0) & (IK < Nc) & (JL >= 0) & (JL < Mc)
+    coarse9 = jnp.where(valid, t20[idx9], 0.0)
+    coarse = Stencil9(**{n: coarse9[i] for i, n in enumerate(_C_ORDER)})
 
-    coarse = Stencil9(**{name: coef(name) for name in _C_ORDER})
-    return tr, coarse
+    # packed transfer planes straight from the canvas (the values already
+    # sit at fine-space parity positions): planeU/planeV == the
+    # pallas_vcycle.pack_transfer interleave of the unpacked weights,
+    # rebuilt here as ONE masked-select fusion each instead of 8 slot
+    # unpacks + 12 interleave reshapes at hierarchy-build time.
+    packed = _packed_transfer_from_canvas(planes, Nc, Mc, dtype)
+    return tr, coarse, packed

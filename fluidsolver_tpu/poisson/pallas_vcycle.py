@@ -325,7 +325,15 @@ def pack_banded(op, tr_fine=None):
     names = ["aC", "aL", "aR", "aB", "aT"]
     if hasattr(op, "aSW"):
         names += ["aSW", "aSE", "aNW", "aNE"]
-    coefs = tuple(band_pad(getattr(op, n), N, M) for n in names)
+    # one stacked pad for the (same-shape) coefficient planes: 2 real
+    # kernels instead of 9 per level (the views are leading-dim slices of
+    # a contiguous buffer — near-free aliases for the pallas HBM refs)
+    itemsize = jnp.dtype(op.aC.dtype).itemsize
+    A = _sublane(itemsize)
+    _, _, N_total, M_pad = band_layout(N, M, itemsize)
+    stacked = jnp.pad(jnp.stack([getattr(op, n) for n in names]),
+                      ((0, 0), (A, N_total - A - N), (0, M_pad - M)))
+    coefs = tuple(stacked[i] for i in range(len(names)))
     planes = (tuple(band_pad(p, N, M) for p in tr_fine)
               if tr_fine is not None else None)
     return coefs, planes

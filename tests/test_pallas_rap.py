@@ -40,7 +40,7 @@ def _reference(op):
 
 def _compare(op):
     tr_ref, c_ref = _reference(op)
-    tr, c = pallas_rap.fused_rap(op, interpret=True)
+    tr, c, _packed = pallas_rap.fused_rap(op, interpret=True)
     for name in ("pW", "pE", "pS", "pN", "pSW", "pSE", "pNW", "pNE"):
         np.testing.assert_allclose(
             np.asarray(getattr(tr, name)), np.asarray(getattr(tr_ref, name)),
@@ -73,7 +73,7 @@ def test_fused_rap_recursion_matches_hierarchy():
     levels = boxmg.build_hierarchy(op)
     cur = op
     for lvl in levels[:-1]:
-        tr, nxt = pallas_rap.fused_rap(cur, interpret=True)
+        tr, nxt, _packed = pallas_rap.fused_rap(cur, interpret=True)
         for name in ("pW", "pN", "pSW", "pNE"):
             np.testing.assert_allclose(
                 np.asarray(getattr(tr, name)),
@@ -81,3 +81,20 @@ def test_fused_rap_recursion_matches_hierarchy():
         cur = nxt
     np.testing.assert_allclose(
         np.asarray(cur.aC), np.asarray(levels[-1].op.aC), rtol=1e-13, atol=1e-11)
+
+
+def test_packed_transfer_from_canvas_matches_pack_transfer():
+    """fused_rap's canvas-built (planeU, planeV) == pack_transfer(tr) —
+    bit-exact (pure relabeling of the same stored values)."""
+    import numpy as np
+
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    for shape in [(62, 62), (94, 40), (63, 41)]:
+        op = _random_op5(*shape)
+        tr, _c, packed = pallas_rap.fused_rap(op, interpret=True)
+        ref_u, ref_v = pv.pack_transfer(tr, op.aC.shape)
+        np.testing.assert_array_equal(np.asarray(packed[0]),
+                                      np.asarray(ref_u))
+        np.testing.assert_array_equal(np.asarray(packed[1]),
+                                      np.asarray(ref_v))

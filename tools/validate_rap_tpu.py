@@ -63,7 +63,7 @@ def main():
         tr_ref = jax.jit(boxmg.collapse_weights)(op)
         c_ref = jax.jit(
             lambda o, t: boxmg.galerkin_closed(o, t, o.aC.shape))(op, tr_ref)
-        tr, c = pallas_rap.fused_rap(op)
+        tr, c, _packed = pallas_rap.fused_rap(op)
         for name in ("pW", "pE", "pS", "pN", "pSW", "pSE", "pNW", "pNE"):
             a = np.asarray(getattr(tr, name))
             b = np.asarray(getattr(tr_ref, name))
