@@ -109,17 +109,21 @@ def available(levels, lvl, ignore_dtype=False) -> bool:
 
 
 def _dilate(arr, stride, cs):
-    """arr[k, l] -> canvas[k*stride, l*stride], zeros elsewhere. Built as
-    block-pad + reshape, NOT a strided scatter: stride-s index updates
-    lower to very slow TPU gathers/scatters (the stride-2 parity slices
-    they mirror measured 43 ms/level at 1024^2 — see pallas_rap)."""
-    n, m = arr.shape
+    """arr[..., k, l] -> canvas[..., k*stride, l*stride], zeros elsewhere
+    (leading batch dims pass through). Built as block-pad + reshape, NOT a
+    strided scatter: stride-s index updates lower to very slow TPU
+    gathers/scatters (the stride-2 parity slices they mirror measured
+    43 ms/level at 1024^2 — see pallas_rap)."""
+    *lead, n, m = arr.shape
+    lead = tuple(lead)
+    zpad = [(0, 0)] * len(lead)
     if stride == 1:
-        return jnp.pad(arr, ((0, cs[0] - n), (0, cs[1] - m)))
-    blk = jnp.pad(arr[:, None, :, None],
-                  ((0, 0), (0, stride - 1), (0, 0), (0, stride - 1)))
-    dil = blk.reshape(n * stride, m * stride)[:cs[0], :cs[1]]
-    return jnp.pad(dil, ((0, cs[0] - dil.shape[0]), (0, cs[1] - dil.shape[1])))
+        return jnp.pad(arr, zpad + [(0, cs[0] - n), (0, cs[1] - m)])
+    blk = jnp.pad(arr[..., :, None, :, None],
+                  zpad + [(0, 0), (0, stride - 1), (0, 0), (0, stride - 1)])
+    dil = blk.reshape(lead + (n * stride, m * stride))[..., :cs[0], :cs[1]]
+    return jnp.pad(dil, zpad + [(0, cs[0] - dil.shape[-2]),
+                                (0, cs[1] - dil.shape[-1])])
 
 
 def build_tail_pack(levels, lvl) -> TailPack:
@@ -134,17 +138,24 @@ def build_tail_pack(levels, lvl) -> TailPack:
     for d, level in enumerate(levels[lvl:]):
         op = level.op
         stride = 1 << d
-        cc = [_dilate(getattr(op, n), stride, cs)
-              for n in ("aC", "aL", "aR", "aB", "aT")]
+        names = ["aC", "aL", "aR", "aB", "aT"]
         if isinstance(op, Stencil9):
-            cc += [_dilate(getattr(op, n), stride, cs)
-                   for n in ("aSW", "aSE", "aNW", "aNE")]
-        else:
+            names += ["aSW", "aSE", "aNW", "aNE"]
+        # ONE batched dilate per level (stack + block-pad + reshape on a
+        # leading axis) instead of 9 per level — the per-plane form was
+        # ~50 tiny launches per tail build (round-4 step census)
+        dil = _dilate(jnp.stack([getattr(op, n) for n in names]), stride, cs)
+        cc = [dil[i] for i in range(len(names))]
+        if len(names) == 5:
             cc += [jnp.zeros(cs, op.aC.dtype)] * 4
         coefs.append(tuple(cc))
         if d < n_levels - 1:
-            pU, pV = pv.pack_transfer(level.tr, op.aC.shape)
-            planes.append((_dilate(pU, stride, cs), _dilate(pV, stride, cs)))
+            if level.tr_fine is not None:
+                pU, pV = level.tr_fine
+            else:
+                pU, pV = pv.pack_transfer(level.tr, op.aC.shape)
+            pd = _dilate(jnp.stack([pU, pV]), stride, cs)
+            planes.append((pd[0], pd[1]))
     return TailPack(coefs=tuple(coefs), planes=tuple(planes))
 
 
