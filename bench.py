@@ -114,9 +114,11 @@ def _run(warmup: int, n: int):
 
     # Latency-immune timing: difference a 1-dispatch and a 2-dispatch batch
     # (one drain each) — fixed drain cost cancels, leaving STEPS marginal
-    # steps + one (async, ~us) enqueue. Median over 3 rounds.
+    # steps + one (async, ~us) enqueue. Median over 5 rounds: with 3, the
+    # window's drain jitter left a ±4 ms spread on the recorded headline
+    # (round-4 A/B runs), below which kernel work was unmeasurable.
     samples = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("FS_BENCH_SAMPLES", "5"))):
         t1, state = timed_batch(state, 1)
         t2, state = timed_batch(state, 2)
         samples.append((t2 - t1) / STEPS * 1e3)
