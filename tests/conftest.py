@@ -9,3 +9,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # The VOF conservation invariants are checked to 1e-12 (BASELINE.md) -> f64.
 jax.config.update("jax_enable_x64", True)
+# Persistent-cache WRITES are disabled under pytest: executable.serialize()
+# segfaults deterministically on one large two-phase executable late in a
+# long-lived suite process (reproduced twice at test_sources.py with a
+# fresh cache, 2026-08-21; exit 139 in jax compilation_cache
+# put_executable_and_time). The min-compile-time gate skips the whole
+# write path BEFORE serialization; cache READS (entries written by
+# production/tool runs) still work.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
