@@ -15,5 +15,8 @@ jax.config.update("jax_enable_x64", True)
 # fresh cache, 2026-08-21; exit 139 in jax compilation_cache
 # put_executable_and_time). The min-compile-time gate skips the whole
 # write path BEFORE serialization; cache READS (entries written by
-# production/tool runs) still work.
+# production/tool runs) still work. Import the package FIRST — its
+# __init__ sets this flag to 2.0 and would override a bare update here.
+import fluidsolver_tpu  # noqa: E402,F401
+
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
