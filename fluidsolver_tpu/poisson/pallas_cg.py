@@ -89,8 +89,10 @@ def pad_operator(op, shape):
     dtype = op.aC.dtype
     B, M_pad, n_bands, N_total = _band_layout(N, M, 9, dtype)
 
+    A = _offset(dtype)
+
     def pad(a):
-        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+        return jnp.pad(a, ((A, N_total - A - a.shape[0]),
                            (0, M_pad - a.shape[1])))
 
     return tuple(pad(getattr(op, n)) for n in ("aC", "aL", "aR", "aB", "aT"))
@@ -121,9 +123,10 @@ def step_ab(op, x, r, p, rz, interpret=False, padded_io=False, shape=None):
     dtype = x.dtype
     B, M_pad, n_bands, N_total = _band_layout(N, M, 9, dtype)
     W = B + 16
+    A = _offset(dtype)
 
     def pad(a):
-        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+        return jnp.pad(a, ((A, N_total - A - a.shape[0]),
                            (0, M_pad - a.shape[1])))
 
     coefs_pad = (op if isinstance(op, tuple)
@@ -306,9 +309,10 @@ def step_c(r, z_raw, p, rz_prev, singular, sum_r=None, interpret=False,
     inv_cells = 1.0 / float(N * M)
     p_zero = p is None
     n_vec = 2 if p_zero else 3
+    A = _offset(dtype)
 
     def pad(a):
-        return jnp.pad(a, ((8, N_total - 8 - a.shape[0]),
+        return jnp.pad(a, ((A, N_total - A - a.shape[0]),
                            (0, M_pad - a.shape[1])))
 
     if sum_r is None:
