@@ -252,7 +252,24 @@ def _solve_local(plan: Plan, max_iter, singular, n_pre, n_post,
     (cfg.pressure_tol_intermediate plumbing)."""
     op = StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
     levels, tail = _build_dist_levels(op, plan)
+    return _pcg_local(plan, max_iter, singular, n_pre, n_post,
+                      op, levels, tail, b, x0, use_x0, tol)
 
+
+def _solve_local_pre(plan: Plan, max_iter, singular, n_pre, n_post,
+                     aC, aL, aR, aB, aT, b, x0, use_x0, tol, levels, tail):
+    """shard_map body consuming a PREBUILT hierarchy (see
+    build_hierarchy_sharded) — the mesh analog of cg.solve_pcg(levels=...):
+    pressure_precond_refresh="step" builds once per step and reuses the
+    hierarchy across the 5 subiteration solves instead of rebuilding it
+    inside every solve (the round-4 dist path's 5x setup overhead)."""
+    op = StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
+    return _pcg_local(plan, max_iter, singular, n_pre, n_post,
+                      op, levels, tail, b, x0, use_x0, tol)
+
+
+def _pcg_local(plan: Plan, max_iter, singular, n_pre, n_post,
+               op, levels, tail, b, x0, use_x0, tol):
     idx = lax.axis_index(AXIS)
     mx0 = plan.mx[0]
     gi = idx * mx0 + lax.broadcasted_iota(jnp.int32, b.shape, 0)
@@ -326,20 +343,83 @@ def _solve_local(plan: Plan, max_iter, singular, n_pre, n_post,
     return project(x) if singular else x, rel, iters
 
 
-def solve_pcg_sharded(mesh, op: StencilOp, b, *, tol, max_iter, singular,
-                      n_pre: int = 1, n_post: int = 1, x0=None,
-                      axis: str = AXIS):
-    """Global-view entry: shard, solve, return (x, rel_residual, iters).
-
-    ``mesh``: a 1D jax.sharding.Mesh whose axis ``axis`` decomposes grid-x.
-    Arrays come in (and go out) as global-view (nx+2, ny+2) boxes; the
-    BoxMG hierarchy is rebuilt per call (it must track the operator)."""
-    from jax.sharding import PartitionSpec as P
-
+def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         from jax import shard_map
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_vma=False)
+
+
+def _pin_pad_operator(mesh, op: StencilOp, b, x0, plan: Plan):
+    """The shared global-view entry plumbing: pin P(AXIS) shardings on both
+    sides of the NX row pad (see solve_pcg_sharded's comment) and pad the
+    operator/vectors with decoupled identity rows."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    spec = NamedSharding(mesh, P(AXIS, None))
+
+    def pin(a):
+        # only under a trace: eager with_sharding_constraint device_puts,
+        # which rejects row counts not divisible by the mesh (the GSPMD
+        # compiler pads implicitly; the runtime cannot)
+        if isinstance(a, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(a, spec)
+        return a
+
+    def pin_op(o):
+        return StencilOp(aC=pin(o.aC), aL=pin(o.aL), aR=pin(o.aR),
+                         aB=pin(o.aB), aT=pin(o.aT))
+
+    op, b, x0 = _pad_operator(pin_op(op), pin(b), pin(x0), plan.NX)
+    return pin_op(op), pin(b), pin(x0), pin
+
+
+def build_hierarchy_sharded(mesh, op: StencilOp, *, axis: str = AXIS):
+    """Build the distributed BoxMG hierarchy ONCE from a global-view
+    operator; the result feeds ``solve_pcg_sharded(levels=...)`` so repeated
+    solves (5 subiterations/step) reuse it instead of rebuilding per call —
+    the mesh analog of cg.build_precond_levels + pressure_precond_refresh
+    ="step" (single-device: solvers/twophase.py do_subiters; reference
+    setup-cost analog: src/LinearSolver_StructHypre.hpp:217-237).
+
+    Returns an opaque (levels, tail) pair of global-view pytrees: the
+    distributed per-level operands live sharded along ``axis`` (their
+    global view is the slab concatenation), the replicated tail as plain
+    replicated arrays."""
+    from jax.sharding import PartitionSpec as P
+
+    if axis != AXIS:
+        raise ValueError(f"mesh axis must be named {AXIS!r}")
+    ndev = mesh.shape[AXIS]
+    plan = make_plan(op.aC.shape[0], op.aC.shape[1], ndev)
+    op, _, _, _ = _pin_pad_operator(mesh, op, op.aC, op.aC, plan)
+
+    def build(aC, aL, aR, aB, aT):
+        return _build_dist_levels(
+            StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT), plan)
+
+    fn = jax.jit(_shard_map(
+        build, mesh,
+        in_specs=(P(AXIS),) * 5,
+        out_specs=(P(AXIS), P()),
+    ))
+    return fn(op.aC, op.aL, op.aR, op.aB, op.aT)
+
+
+def solve_pcg_sharded(mesh, op: StencilOp, b, *, tol, max_iter, singular,
+                      n_pre: int = 1, n_post: int = 1, x0=None,
+                      axis: str = AXIS, levels=None):
+    """Global-view entry: shard, solve, return (x, rel_residual, iters).
+
+    ``mesh``: a 1D jax.sharding.Mesh whose axis ``axis`` decomposes grid-x.
+    Arrays come in (and go out) as global-view (nx+2, ny+2) boxes; the
+    BoxMG hierarchy is rebuilt per call (it must track the operator) unless
+    a prebuilt ``levels`` pair from build_hierarchy_sharded is given."""
+    from jax.sharding import PartitionSpec as P
 
     if axis != AXIS:
         raise ValueError(f"mesh axis must be named {AXIS!r}")
@@ -354,40 +434,35 @@ def solve_pcg_sharded(mesh, op: StencilOp, b, *, tol, max_iter, singular,
     # collective-permutes; unconstrained, GSPMD replicates every shard_map
     # operand through a FULL-FIELD all-gather (7 per solve — the flagged
     # rows in tools/collective_census.py before this fix).
-    from jax.sharding import NamedSharding
-
-    spec = NamedSharding(mesh, P(AXIS, None))
-
-    def pin(a):
-        # only under a trace: eager with_sharding_constraint device_puts,
-        # which rejects row counts not divisible by the mesh (the GSPMD
-        # compiler pads implicitly; the runtime cannot)
-        if isinstance(a, jax.core.Tracer):
-            return jax.lax.with_sharding_constraint(a, spec)
-        return a
-
-    op = StencilOp(aC=pin(op.aC), aL=pin(op.aL), aR=pin(op.aR),
-                   aB=pin(op.aB), aT=pin(op.aT))
-    b, x0 = pin(b), pin(x0.astype(b.dtype))
-    op, b, x0 = _pad_operator(op, b, x0, plan.NX)
-    op = StencilOp(aC=pin(op.aC), aL=pin(op.aL), aR=pin(op.aR),
-                   aB=pin(op.aB), aT=pin(op.aT))
-    b, x0 = pin(b), pin(x0)
+    op, b, x0, pin = _pin_pad_operator(mesh, op, b, x0.astype(b.dtype), plan)
 
     # jit is mandatory: an eager shard_map dispatches every primitive of the
     # hierarchy build as its own tiny 8-way sharded op (minutes of per-op
     # compile + rendezvous; measured as an apparent hang on CPU meshes)
-    fn = jax.jit(shard_map(
-        partial(_solve_local, plan, int(max_iter), bool(singular),
-                int(n_pre), int(n_post)),
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS), P(), P()),
-        check_vma=False,
-    ))
-    x, rel, iters = fn(op.aC, op.aL, op.aR, op.aB, op.aT, b, x0,
-                       jnp.asarray(use_x0), jnp.asarray(tol, b.dtype))
+    scalars = (jnp.asarray(use_x0), jnp.asarray(tol, b.dtype))
+    if levels is None:
+        fn = jax.jit(_shard_map(
+            partial(_solve_local, plan, int(max_iter), bool(singular),
+                    int(n_pre), int(n_post)),
+            mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS), P(AXIS), P(), P()),
+            out_specs=(P(AXIS), P(), P()),
+        ))
+        x, rel, iters = fn(op.aC, op.aL, op.aR, op.aB, op.aT, b, x0,
+                           *scalars)
+    else:
+        lv, tail = levels
+        fn = jax.jit(_shard_map(
+            partial(_solve_local_pre, plan, int(max_iter), bool(singular),
+                    int(n_pre), int(n_post)),
+            mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS), P(AXIS), P(), P(), P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P()),
+        ))
+        x, rel, iters = fn(op.aC, op.aL, op.aR, op.aB, op.aT, b, x0,
+                           *scalars, lv, tail)
     # NX -> nx2 crop: constrained, this is one half-field subgroup gather
     # (GSPMD can't prove the shrink is local); unconstrained it replicates.
     return pin(pin(x)[: plan.nx2]), rel, iters

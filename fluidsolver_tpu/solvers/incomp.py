@@ -65,6 +65,7 @@ def pressure_solve(state: FlowState, div, dt, grid: Grid, cfg: SolverConfig,
             mesh, op, rhs, tol=tol, max_iter=cfg.pressure_max_iter,
             singular=singular, n_pre=cfg.mg_pre, n_post=cfg.mg_post,
             x0=x0 if cfg.pressure_warm_start else None,
+            levels=levels,
         )
         delta_p = stencil.shift_pressure_to_zero(delta_p, grid.dx, grid.dy)
         return delta_p, rel, iters
@@ -144,6 +145,21 @@ def build_step_levels(rho_u, rho_v, grid: Grid, cfg: SolverConfig):
         if cfg.pressure_precond_dtype is not None else None
     )
     return cg.build_precond_levels(op, cfg.pressure_solver, pd)
+
+
+def build_step_levels_sharded(rho_u, rho_v, grid: Grid, cfg: SolverConfig,
+                              mesh):
+    """Mesh analog of build_step_levels: the distributed hierarchy pair
+    (dist_poisson.build_hierarchy_sharded) from the step-start densities,
+    reused across the subiteration solves via solve_pcg_sharded(levels=)."""
+    if cfg.pressure_solver not in ("mg", "boxmg"):
+        return None
+    op = linsys.assemble_pressure_operator(
+        rho_u, rho_v, grid.dx, grid.dy, cfg.pressure_pin
+    )
+    from fluidsolver_tpu.parallel import dist_poisson
+
+    return dist_poisson.build_hierarchy_sharded(mesh, op)
 
 
 def project_velocity(U, V, delta_p, rho_u, rho_v, dt, dx: float, dy: float):

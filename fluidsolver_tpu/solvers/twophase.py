@@ -86,8 +86,10 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
     stages, whose halo collectives XLA inserts) and the pressure Poisson
     solve runs the explicit shard_map distributed BoxMG-PCG
     (parallel/dist_poisson.py) with ICI point-to-point halo exchange.
-    The distributed solver rebuilds its hierarchy per solve, so
-    ``pressure_precond_refresh`` is ignored on a mesh."""
+    ``pressure_precond_refresh="step"`` works on a mesh too: the
+    distributed hierarchy pair (dist_poisson.build_hierarchy_sharded) is
+    built once inside subiteration 0 and carried across the remaining
+    subiteration solves, instead of rebuilt inside every solve."""
     rho_eps = mom.calc_rho_eps(cfg.rho_gas, cfg.rho_liquid)
     gx, gy = cfg.gravity
 
@@ -236,7 +238,12 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
             # densities on the first pass, reuse the hierarchy afterwards
             levels = jax.lax.cond(
                 k == 0,
-                lambda: incomp.build_step_levels(rho_u, rho_v, grid, cfg),
+                lambda: (
+                    incomp.build_step_levels(rho_u, rho_v, grid, cfg)
+                    if mesh is None else
+                    incomp.build_step_levels_sharded(
+                        rho_u, rho_v, grid, cfg, mesh)
+                ),
                 lambda: levels_carry,
             )
         else:
@@ -378,9 +385,14 @@ def make_step(grid: Grid, cfg: SolverConfig, mesh=None):
                 )
             else:
                 mom_pre = None
-            if cfg.pressure_precond_refresh == "step" and mesh is None:
+            if cfg.pressure_precond_refresh == "step":
                 shapes = jax.eval_shape(
-                    lambda ru, rv: incomp.build_step_levels(ru, rv, grid, cfg),
+                    lambda ru, rv: (
+                        incomp.build_step_levels(ru, rv, grid, cfg)
+                        if mesh is None else
+                        incomp.build_step_levels_sharded(
+                            ru, rv, grid, cfg, mesh)
+                    ),
                     f.rho_u, f.rho_v,
                 )
                 zeros = jax.tree_util.tree_map(

@@ -91,6 +91,31 @@ def test_dist_pcg_warm_start():
     assert float(rel2) <= 1e-6
 
 
+@pytest.mark.parametrize("pin", ["right", None])
+def test_dist_pcg_prebuilt_levels(pin):
+    """solve_pcg_sharded(levels=build_hierarchy_sharded(...)) is the SAME
+    preconditioner as the in-solve build: identical iteration count and a
+    solution equal up to XLA fusion-context rounding (the hierarchy values
+    round-trip the shard_map boundary unchanged; only the surrounding
+    compilation differs). This is the refresh="step" path of the mesh step
+    (solvers/twophase.py do_subiters)."""
+    op, rhs = _jump_system(64, pin)
+    singular = pin is None
+    mesh = _mesh()
+    x1, rel1, it1 = dist_poisson.solve_pcg_sharded(
+        mesh, op, rhs, tol=1e-8, max_iter=200, singular=singular)
+    levels = dist_poisson.build_hierarchy_sharded(mesh, op)
+    x2, rel2, it2 = dist_poisson.solve_pcg_sharded(
+        mesh, op, rhs, tol=1e-8, max_iter=200, singular=singular,
+        levels=levels)
+    assert int(it1) == int(it2), (int(it1), int(it2))
+    a, b = np.asarray(x1), np.asarray(x2)
+    if singular:
+        a, b = a - a.mean(), b - b.mean()
+    scale = max(np.abs(a).max(), 1e-30)
+    assert np.abs(a - b).max() / scale < 1e-8
+
+
 def test_dist_pcg_f32():
     """f32 path (the TPU production dtype): converges to an f32-realistic
     tolerance with the same hierarchy logic."""
