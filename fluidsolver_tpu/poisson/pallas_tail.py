@@ -163,6 +163,60 @@ def build_tail_pack(levels, lvl) -> TailPack:
 from fluidsolver_tpu.poisson.pallas_vcycle import _shift_in as _sh  # noqa: E402
 
 
+# ---- shared in-kernel stencil algebra (cycle AND setup kernels) ----------
+# The dilated-canvas forms of boxmg.apply_any / restrict_box / prolong_box;
+# formulas unchanged from the validated cycle kernel, lifted to module
+# scope so the setup kernel (build_tail_pack_fused) reuses them verbatim.
+
+def _k_apply_op(cc, x, s):
+    aC, aL, aR, aB, aT, aSW, aSE, aNW, aNE = cc
+    return (
+        aC * x
+        + aL * _sh(x, -s, 0) + aR * _sh(x, s, 0)
+        + aB * _sh(x, 0, -s) + aT * _sh(x, 0, s)
+        + aSW * _sh(x, -s, -s) + aSE * _sh(x, s, -s)
+        + aNW * _sh(x, -s, s) + aNE * _sh(x, s, s)
+    )
+
+
+def _k_restrict(planes_d, r, s):
+    # P^T r in dilated form (term order = boxmg.restrict_box); the result
+    # is consumed on the coarse lattice only
+    pU, pV = planes_d
+    P1 = pU * r
+    P2 = pV * r
+    return (
+        r
+        + _sh(P1, s, 0)
+        + _sh(_sh(pU, -s, 0) * r, -s, 0)
+        + _sh(P1, 0, s)
+        + _sh(_sh(pU, s, 0) * r, 0, -s)
+        + _sh(P2, s, s)
+        + _sh(_sh(pV, -s, 0) * r, -s, s)
+        + _sh(_sh(pV, 0, -s) * r, s, -s)
+        + _sh(_sh(pV, -s, -s) * r, -s, -s)
+    )
+
+
+def _k_prolong(planes_d, ec, s, oi, oj):
+    # P ec in dilated form (term order = boxmg.prolong_box). At every
+    # active level-d position exactly one of the four shifts of the
+    # dilated ec is its coarse parent ec(a//2, b//2).
+    pU, pV = planes_d
+    e = ec + _sh(ec, -s, 0) + _sh(ec, 0, -s) + _sh(ec, -s, -s)
+    corr_oe = pU * _sh(e, -s, 0) + _sh(pU, -s, 0) * _sh(e, s, 0)
+    corr_eo = pU * _sh(e, 0, -s) + _sh(pU, s, 0) * _sh(e, 0, s)
+    corr_oo = (
+        pV * _sh(e, -s, -s) + _sh(pV, -s, 0) * _sh(e, s, -s)
+        + _sh(pV, 0, -s) * _sh(e, -s, s)
+        + _sh(pV, -s, -s) * _sh(e, s, s)
+    )
+    return jnp.where(
+        oi, jnp.where(oj, corr_oo, corr_oe),
+        jnp.where(oj, corr_eo, e),
+    )
+
+
 def _make_kernel(n_levels, colors_pre, colors_post, coarse_pairs, cs, dtype):
     Nb, Mb = cs
 
@@ -185,15 +239,7 @@ def _make_kernel(n_levels, colors_pre, colors_post, coarse_pairs, cs, dtype):
             red = ((((ii >> d) + (jj >> d)) & 1) == 0)
             return active, red
 
-        def apply_op(cc, x, s):
-            aC, aL, aR, aB, aT, aSW, aSE, aNW, aNE = cc
-            return (
-                aC * x
-                + aL * _sh(x, -s, 0) + aR * _sh(x, s, 0)
-                + aB * _sh(x, 0, -s) + aT * _sh(x, 0, s)
-                + aSW * _sh(x, -s, -s) + aSE * _sh(x, s, -s)
-                + aNW * _sh(x, -s, s) + aNE * _sh(x, s, s)
-            )
+        apply_op = _k_apply_op
 
         def sweep(cc, x, b, d, want_red, active, red):
             s = 1 << d
@@ -205,44 +251,12 @@ def _make_kernel(n_levels, colors_pre, colors_post, coarse_pairs, cs, dtype):
             return jnp.where(mask, x_new, x)
 
         def restrict(d, r):
-            # P^T r in dilated form (term order = boxmg.restrict_box);
-            # the result is consumed on level d+1's lattice only
-            s = 1 << d
-            pU, pV = planes[d]
-            P1 = pU * r
-            P2 = pV * r
-            return (
-                r
-                + _sh(P1, s, 0)
-                + _sh(_sh(pU, -s, 0) * r, -s, 0)
-                + _sh(P1, 0, s)
-                + _sh(_sh(pU, s, 0) * r, 0, -s)
-                + _sh(P2, s, s)
-                + _sh(_sh(pV, -s, 0) * r, -s, s)
-                + _sh(_sh(pV, 0, -s) * r, s, -s)
-                + _sh(_sh(pV, -s, -s) * r, -s, -s)
-            )
+            return _k_restrict(planes[d], r, 1 << d)
 
         def prolong_add(d, x, ec, active):
-            # x += P ec (term order = boxmg.prolong_box). At every active
-            # level-d position exactly one of the four shifts of the
-            # dilated ec is its coarse parent ec(a//2, b//2).
-            s = 1 << d
-            pU, pV = planes[d]
-            e = ec + _sh(ec, -s, 0) + _sh(ec, 0, -s) + _sh(ec, -s, -s)
             oi = ((ii >> d) & 1) == 1
             oj = ((jj >> d) & 1) == 1
-            corr_oe = pU * _sh(e, -s, 0) + _sh(pU, -s, 0) * _sh(e, s, 0)
-            corr_eo = pU * _sh(e, 0, -s) + _sh(pU, s, 0) * _sh(e, 0, s)
-            corr_oo = (
-                pV * _sh(e, -s, -s) + _sh(pV, -s, 0) * _sh(e, s, -s)
-                + _sh(pV, 0, -s) * _sh(e, -s, s)
-                + _sh(pV, -s, -s) * _sh(e, s, s)
-            )
-            corr = jnp.where(
-                oi, jnp.where(oj, corr_oo, corr_oe),
-                jnp.where(oj, corr_eo, e),
-            )
+            corr = _k_prolong(planes[d], ec, 1 << d, oi, oj)
             return x + jnp.where(active, corr, 0.0)
 
         def cycle(d, b):
@@ -273,6 +287,160 @@ def _make_kernel(n_levels, colors_pre, colors_post, coarse_pairs, cs, dtype):
         out_x[:] = cycle(0, b0)
 
     return kernel
+
+
+# ---- one-launch tail SETUP ------------------------------------------------
+
+def _make_setup_kernel(n_levels, shapes, cs, dtype):
+    """Kernel body for build_tail_pack_fused: starting from the tail-finest
+    9-plane operator (dilated at stride 1), build every coarser level's
+    operator and packed transfer planes without leaving VMEM."""
+    Nb, Mb = cs
+
+    def kernel(*refs):
+        ins = refs[:9]
+        outs = refs[9:]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (Nb, Mb), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Nb, Mb), 1)
+
+        def act(d_):
+            m = (1 << d_) - 1
+            return ((ii & m) == 0) & ((jj & m) == 0)
+
+        def safe(x):
+            return jnp.where(x == 0.0, 1.0, x)
+
+        cc = tuple(r[:] for r in ins)
+        for d in range(n_levels - 1):
+            s = 1 << d
+            aC, aL, aR, aB, aT, aSW, aSE, aNW, aNE = cc
+            # -- operator-collapsed weights (boxmg.collapse_weights, dilated:
+            # identical formulas and FP order; neighbor samples at ±1 level-d
+            # index are canvas shifts by s) --
+            den_x = safe(aC + aT + aB)
+            den_y = safe(aC + aL + aR)
+            pWf = -(aL + aNW + aSW) / den_x
+            pEf = -(aR + aNE + aSE) / den_x
+            pSf = -(aB + aSW + aSE) / den_y
+            pNf = -(aT + aNW + aNE) / den_y
+            cden = safe(aC)
+            vSW = aSW + aL * _sh(pSf, -s, 0) + aB * _sh(pWf, 0, -s)
+            vSE = aSE + aR * _sh(pSf, s, 0) + aB * _sh(pEf, 0, -s)
+            vNW = aNW + aL * _sh(pNf, -s, 0) + aT * _sh(pWf, 0, s)
+            vNE = aNE + aR * _sh(pNf, s, 0) + aT * _sh(pEf, 0, s)
+            cSW, cSE = -vSW / cden, -vSE / cden
+            cNW, cNE = -vNW / cden, -vNE / cden
+            # -- pack to the pallas_vcycle.pack_transfer parity layout:
+            # fine (2k+p, 2l+q) holds {pE,pS,pW,pN}/{pNE,pSE,pNW,pSW} of
+            # coarse (k,l); the line weights live AT their defining fine
+            # position, the rest are one-step shifts --
+            oi = ((ii >> d) & 1) == 1
+            oj = ((jj >> d) & 1) == 1
+            actd = act(d)
+            pU = jnp.where(
+                actd,
+                jnp.where(oi, jnp.where(oj, _sh(pNf, -s, 0), pWf),
+                          jnp.where(oj, pSf, _sh(pEf, s, 0))),
+                0.0)
+            pV = jnp.where(
+                actd,
+                jnp.where(oi, jnp.where(oj, cSW, _sh(cNW, 0, s)),
+                          jnp.where(oj, _sh(cSE, s, 0), _sh(cNE, s, s))),
+                0.0)
+            planes_d = (pU, pV)
+            # -- Galerkin coarse operator by comb probing (boxmg.
+            # galerkin_boxmg on the canvas): nine period-3 combs through
+            # P^T A P; prolong/apply/restrict are the cycle kernel's own
+            # dilated forms, so the product lands directly at stride-2^(d+1)
+            # positions — no parity unpack exists at all --
+            sc2 = d + 1
+            Kc = ii >> sc2
+            Lc = jj >> sc2
+            actc = act(d + 1)
+            one = jnp.asarray(1.0, dtype)
+            zero = jnp.asarray(0.0, dtype)
+            Ys = []
+            for pa in range(3):
+                for pb in range(3):
+                    comb = jnp.where(
+                        actc & ((Kc % 3) == pa) & ((Lc % 3) == pb), one, zero)
+                    e = jnp.where(actd, _k_prolong(planes_d, comb, s, oi, oj),
+                                  0.0)
+                    y = jnp.where(actd, _k_apply_op(cc, e, s), 0.0)
+                    Ys.append(jnp.where(actc, _k_restrict(planes_d, y, s),
+                                        0.0))
+            Nc1, Mc1 = shapes[d + 1]
+            new_cc = []
+            for (dI, dJ) in ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                             (-1, -1), (1, -1), (-1, 1), (1, 1)):
+                acc = jnp.zeros((Nb, Mb), dtype)
+                for pa in range(3):
+                    for pb in range(3):
+                        m = ((((Kc + dI) % 3) == pa)
+                             & (((Lc + dJ) % 3) == pb))
+                        acc = acc + jnp.where(m, Ys[3 * pa + pb], 0.0)
+                valid = ((Kc + dI >= 0) & (Kc + dI < Nc1)
+                         & (Lc + dJ >= 0) & (Lc + dJ < Mc1))
+                new_cc.append(jnp.where(actc & valid, acc, 0.0))
+            base = 11 * d
+            outs[base][:] = pU
+            outs[base + 1][:] = pV
+            for k in range(9):
+                outs[base + 2 + k][:] = new_cc[k]
+            cc = tuple(new_cc)
+
+    return kernel
+
+
+def build_tail_pack_fused(op0, n_levels: int, interpret=False) -> TailPack:
+    """ONE-launch tail setup: from the tail-finest operator ``op0`` build
+    EVERY coarser tail level's 9-point Galerkin operator and packed
+    transfer planes in a single pallas_call, replacing the per-level XLA
+    setup chains of build_hierarchy below the tail (~25 fusions/level —
+    the round-5 hierarchy lever, PERF.md "one-launch tail SETUP"; same
+    role as the PFMG coarse-level setup,
+    src/LinearSolver_StructHypre.hpp:217-237).
+
+    Numerics: transfer weights are the collapse_weights formulas in the
+    same FP order (bit-exact); coarse operators are the Galerkin product
+    via comb probing (boxmg.galerkin_boxmg's documented equivalence with
+    galerkin_closed — equal to rounding, compounding per level).
+    Returns a TailPack whose coefs[0] is ``op0`` dilated (stride 1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fluidsolver_tpu.poisson.boxmg import Stencil9
+
+    shape = op0.aC.shape
+    shapes = _level_shapes(shape, n_levels)
+    cs = canvas_shape(shape, n_levels)
+    dtype = op0.aC.dtype
+    names = ["aC", "aL", "aR", "aB", "aT"]
+    if isinstance(op0, Stencil9):
+        names += ["aSW", "aSE", "aNW", "aNE"]
+    dil = _dilate(jnp.stack([getattr(op0, n) for n in names]), 1, cs)
+    args = [dil[i] for i in range(len(names))]
+    if len(names) == 5:
+        args += [jnp.zeros(cs, dtype)] * 4
+    kernel = _make_setup_kernel(n_levels, tuple(shapes), cs, dtype)
+    n_out = 11 * (n_levels - 1)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(cs, dtype)] * n_out,
+        in_specs=[vmem] * 9,
+        out_specs=[vmem] * n_out,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    coefs = [tuple(args)]
+    planes = []
+    for d in range(n_levels - 1):
+        base = 11 * d
+        planes.append((outs[base], outs[base + 1]))
+        coefs.append(tuple(outs[base + 2:base + 11]))
+    return TailPack(coefs=tuple(coefs), planes=tuple(planes))
 
 
 @functools.partial(jax.jit, static_argnames=("n_pre", "n_post", "interpret"))

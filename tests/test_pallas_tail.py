@@ -79,6 +79,61 @@ def test_tail_cycle_matches_v_cycle(shape, deep):
                                rtol=1e-12, atol=1e-12 * scale)
 
 
+def test_fused_tail_setup_matches_host_build():
+    """build_tail_pack_fused (ONE-launch in-kernel setup: dilated
+    collapse_weights + Galerkin comb probing) vs the host build chain
+    (build_hierarchy levels -> build_tail_pack): the finest transfer
+    planes are the same formulas in the same FP order (near bit-exact);
+    coarser levels compound the comb-vs-closed Galerkin rounding only.
+    The resulting pack must drive tail_cycle to the same output."""
+    op = _drop_op(96, 96)
+    levels = _sweep_levels(op, deep=True)
+    lvl = next(i for i in range(len(levels))
+               if pt.available(levels, i, ignore_dtype=True))
+    n_levels = len(levels) - lvl
+    assert n_levels >= 3, "want a multi-level tail for this test"
+    pack_h = pt.build_tail_pack(levels, lvl)
+    pack_f = pt.build_tail_pack_fused(levels[lvl].op, n_levels,
+                                      interpret=True)
+    for d in range(n_levels):
+        for k in range(9):
+            a = np.asarray(pack_h.coefs[d][k])
+            b = np.asarray(pack_f.coefs[d][k])
+            scale = max(np.abs(a).max(), 1e-30)
+            assert np.abs(a - b).max() / scale < 1e-10, (d, k)
+        if d < n_levels - 1:
+            for i in range(2):
+                a = np.asarray(pack_h.planes[d][i])
+                b = np.asarray(pack_f.planes[d][i])
+                scale = max(np.abs(a).max(), 1e-30)
+                assert np.abs(a - b).max() / scale < 1e-10, (d, i)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.normal(size=levels[lvl].op.aC.shape))
+    xh = pt.tail_cycle(pack_h, b, interpret=True)
+    xf = pt.tail_cycle(pack_f, b, interpret=True)
+    scale = float(jnp.abs(xh).max())
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xh),
+                               rtol=1e-10, atol=1e-10 * scale)
+
+
+def test_fused_tail_setup_5pt_finest():
+    """A 5-point tail-finest operator (the tail starting at level 0) gets
+    zero corner planes and must round-trip the same way."""
+    op, _ = _op(62, 30, seed=5)
+    levels = _sweep_levels(op)
+    assert pt.available(levels, 0, ignore_dtype=True)
+    pack_h = pt.build_tail_pack(levels, 0)
+    pack_f = pt.build_tail_pack_fused(levels[0].op, len(levels),
+                                      interpret=True)
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.normal(size=levels[0].op.aC.shape))
+    xh = pt.tail_cycle(pack_h, b, interpret=True)
+    xf = pt.tail_cycle(pack_f, b, interpret=True)
+    scale = float(jnp.abs(xh).max())
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xh),
+                               rtol=1e-10, atol=1e-10 * scale)
+
+
 def test_v_cycle_tail_wiring(monkeypatch):
     """v_cycle with a tail attached mid-hierarchy == running the fine
     levels via XLA and the tail levels via the kernel."""
