@@ -505,6 +505,33 @@ def _tr_fine_wanted() -> bool:
     return _use_pallas_vc()
 
 
+def _remaining_depth(shape, built: int) -> int:
+    """How many levels build_hierarchy would still produce from ``shape``
+    after ``built`` existing levels (same stop logic as the build loop)."""
+    n, m, d = shape[0], shape[1], 0
+    while True:
+        direct = min(n, m) <= DIRECT_COARSEST and n * m <= DIRECT_CAP
+        d += 1
+        if built + d >= MAX_LEVELS or min(n, m) <= COARSEST or direct:
+            return d
+        n, m = (n + 1) // 2, (m + 1) // 2
+
+
+def _tailsetup_on() -> bool:
+    """FS_PALLAS_TAILSETUP=1 (opt-in until the TPU A/B quantifies it):
+    stop the hierarchy build at the tail start and construct the whole
+    TailPack with the ONE-launch setup kernel (pallas_tail.
+    build_tail_pack_fused) instead of per-level XLA chains. Requires the
+    tail itself (FS_PALLAS_VCYCLE + FS_PALLAS_TAIL) to be in play."""
+    from fluidsolver_tpu.flags import pallas_platform_ok
+
+    if os.environ.get("FS_PALLAS_TAILSETUP", "0") != "1":
+        return False
+    if os.environ.get("FS_PALLAS_TAIL", "1") != "1":
+        return False
+    return _tr_fine_wanted() and pallas_platform_ok()
+
+
 def _rap_fused_ok(shape, dtype) -> bool:
     """Gate for the fused Pallas setup kernel (pallas_rap.fused_rap):
     default-on for TPU single-chip (FS_PALLAS_RAP overrides; pallas_call
@@ -536,6 +563,20 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
         # anisotropic coarsest levels exceeding DIRECT_CAP keep the RB
         # coarse sweeps + PCG
         done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST or direct
+        if not done and _tailsetup_on():
+            # ONE-launch tail setup: stop descending at the tail start —
+            # the fused kernel builds every sub-tail operator and transfer
+            # plane itself (pallas_tail.build_tail_pack_fused), so the
+            # per-level XLA chains below this point never exist at all
+            from fluidsolver_tpu.poisson import pallas_tail as pt
+
+            n_rem = _remaining_depth(shape, len(levels))
+            if pt.available_shape(shape, n_rem, dtype):
+                level = BoxLevel(op=cur, red=_checkerboard(shape, dtype),
+                                 tr=None)
+                level.tail = pt.build_tail_pack_fused(cur, n_rem)
+                levels.append(level)
+                return _attach_fused_vcycle(levels)
         nxt = None
         packed = None
         if done:
@@ -614,17 +655,32 @@ def _attach_fused_vcycle(levels):
     tail_lvl = len(levels)
     if os.environ.get("FS_PALLAS_TAIL", "1") == "1":
         for lvl in range(len(levels)):
-            if pt.available(levels, lvl):
+            if levels[lvl].tail is not None or pt.available(levels, lvl):
                 tail_lvl = lvl
                 break
+        if tail_lvl == len(levels) and _tailsetup_on() and levels:
+            # fused-setup TRUNCATED list (no sub-tail levels exist, so
+            # available()'s depth gate can't see the tail) — e.g. the
+            # cast_hierarchy re-attach. Rebuild the pack from the last
+            # level's operator alone.
+            lvl = len(levels) - 1
+            op_l = levels[lvl].op
+            n_rem = _remaining_depth(op_l.aC.shape, lvl)
+            if pt.available_shape(op_l.aC.shape, n_rem, op_l.aC.dtype):
+                tail_lvl = lvl
     for lvl in range(tail_lvl):
         # the fused-RAP build already attached canvas-built packed planes
         # (bit-identical, ~2 fusions instead of ~20) — keep them
         if levels[lvl].tr is not None and levels[lvl].tr_fine is None:
             levels[lvl].tr_fine = pv.pack_transfer(
                 levels[lvl].tr, levels[lvl].op.aC.shape)
-    if tail_lvl < len(levels):
-        levels[tail_lvl].tail = pt.build_tail_pack(levels, tail_lvl)
+    if tail_lvl < len(levels) and levels[tail_lvl].tail is None:
+        if tail_lvl == len(levels) - 1:  # fused-setup truncated list
+            op_l = levels[tail_lvl].op
+            levels[tail_lvl].tail = pt.build_tail_pack_fused(
+                op_l, _remaining_depth(op_l.aC.shape, tail_lvl))
+        else:
+            levels[tail_lvl].tail = pt.build_tail_pack(levels, tail_lvl)
     # pre-pad the loop-invariant fused_smooth operands (coefs + planes)
     # once per hierarchy — fused_smooth otherwise re-pads ~11 full arrays
     # per call (bandwidth + launch toll, see pack_banded docstring)

@@ -89,23 +89,31 @@ def canvas_shape(shape, n_levels):
     return (-(-rows // 8) * 8, -(-cols // 128) * 128)
 
 
+def available_shape(shape, n_levels, dtype, ignore_dtype=False) -> bool:
+    """Shape-only tail gate: ``n_levels`` levels from ``shape`` down fit
+    one canvas in VMEM. Usable BEFORE the levels exist (the fused-setup
+    build stop, boxmg.build_hierarchy)."""
+    if not ignore_dtype and jnp.dtype(dtype) != jnp.float32:
+        return False  # f64 is emulated on TPU; Mosaic rejects it
+    d = n_levels
+    if max(shape) > MAX_TAIL_SIDE or d > MAX_TAIL_LEVELS or d < 2:
+        return False
+    nb, mb = canvas_shape(shape, d)
+    itemsize = jnp.dtype(dtype).itemsize
+    # resident: 9d coef + 2(d-1) transfer inputs; live during recursion:
+    # x and b per level on the stack (~2d) plus working temporaries
+    n_planes = 9 * d + 2 * (d - 1) + 2 * d + 8
+    return nb * mb * n_planes * itemsize < VMEM_BUDGET_BYTES
+
+
 def available(levels, lvl, ignore_dtype=False) -> bool:
     """Tail qualifies: every level from lvl down fits one canvas in VMEM.
 
     ``ignore_dtype``: skip the f64 gate — for interpret-mode tests, which
     deliberately run in f64 for tight equivalence tolerances."""
-    shape = levels[lvl].op.aC.shape
-    if not ignore_dtype and jnp.dtype(levels[lvl].op.aC.dtype) != jnp.float32:
-        return False  # f64 is emulated on TPU; Mosaic rejects it
-    d = len(levels) - lvl
-    if max(shape) > MAX_TAIL_SIDE or d > MAX_TAIL_LEVELS or d < 2:
-        return False
-    nb, mb = canvas_shape(shape, d)
-    itemsize = jnp.dtype(levels[lvl].op.aC.dtype).itemsize
-    # resident: 9d coef + 2(d-1) transfer inputs; live during recursion:
-    # x and b per level on the stack (~2d) plus working temporaries
-    n_planes = 9 * d + 2 * (d - 1) + 2 * d + 8
-    return nb * mb * n_planes * itemsize < VMEM_BUDGET_BYTES
+    op = levels[lvl].op
+    return available_shape(op.aC.shape, len(levels) - lvl, op.aC.dtype,
+                           ignore_dtype=ignore_dtype)
 
 
 def _dilate(arr, stride, cs):
