@@ -32,7 +32,10 @@ import sys
 import time
 
 N = int(os.environ.get("FS_BENCH_N", "1024"))
-STEPS = int(os.environ.get("FS_BENCH_STEPS", "10"))
+# 50 steps per dispatch (round-5 protocol): the sample noise is drain
+# jitter / STEPS — at 10 it was +-4 ms/step, drowning every 1-7 ms kernel
+# optimization (VERDICT r4); at 50 the recorded floor is ~0.5-1 ms/step.
+STEPS = int(os.environ.get("FS_BENCH_STEPS", "50"))
 # develop the flow first so the pressure solve does representative work
 # (a quiescent field lets PCG converge in a couple of iterations)
 WARMUP = int(os.environ.get("FS_BENCH_WARMUP", "20"))
@@ -125,8 +128,12 @@ def _run(warmup: int, n: int):
     positive = sorted(s for s in samples if s > 0)
     if positive:
         ms = positive[len(positive) // 2]
+        mean = sum(positive) / len(positive)
+        sigma = (sum((s - mean) ** 2 for s in positive)
+                 / max(1, len(positive) - 1)) ** 0.5
     else:  # pathological timing noise: fall back to the raw mean
         ms = (t2 / (2 * STEPS)) * 1e3
+        sigma = float("nan")
 
     # force a device->host read so the result cannot be an enqueue artifact
     checksum = float(jnp.sum(state.flow.p)) + float(jnp.sum(state.vf))
@@ -139,6 +146,7 @@ def _run(warmup: int, n: int):
         "p_iter_per_step": int(state.flow.p_iter),
         "cell_updates_per_sec": round(n * n / (ms * 1e-3)),
         "checksum": round(checksum, 3),
+        "sigma_ms": round(sigma, 3) if sigma == sigma else None,
         "samples_ms": [round(s, 3) for s in samples],
         "steps_per_dispatch": STEPS,
         "warmup_steps": warmup,

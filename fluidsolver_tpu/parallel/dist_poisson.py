@@ -72,12 +72,13 @@ _TR = ("pW", "pE", "pS", "pN", "pSW", "pSE", "pNW", "pNE")
 # ---------------------------------------------------------------- planning
 
 def _global_depth(nx2: int, ny2: int) -> int:
-    """Level count build_hierarchy produces for a (nx2, ny2) box."""
+    """Level count build_hierarchy produces for a (nx2, ny2) box (shared
+    stop predicate — see boxmg._stop_here)."""
     n, m, levels = nx2, ny2, 0
     while True:
-        direct = min(n, m) <= DIRECT_COARSEST and n * m <= DIRECT_CAP
         levels += 1
-        if levels >= MAX_LEVELS or min(n, m) <= COARSEST or direct:
+        done, _ = boxmg._stop_here((n, m), levels)
+        if done:
             return levels
         n, m = (n + 1) // 2, (m + 1) // 2
 
@@ -174,6 +175,27 @@ def _sweep_local(op, red, x, b, reverse=False):
     return x
 
 
+def _dist_fused_ok(op_loc, n_pre: int, n_post: int) -> bool:
+    """Gate for the fused Pallas smoother at a DISTRIBUTED level: the
+    kernel runs per-shard inside the shard_map body (safe under the
+    flags.shard_local_pallas context the dist bodies establish), on the
+    halo-extended slab — both phase extents must pass the kernel's shape
+    gate. Same math as the _sweep_local chain (pallas_shard docstring;
+    bitwise-validated on an 8-device mesh, tests/test_pallas_shard.py)."""
+    from fluidsolver_tpu.flags import pallas_enabled
+
+    if not pallas_enabled("FS_PALLAS_VCYCLE"):
+        return False
+    from fluidsolver_tpu.parallel import pallas_shard as ps
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    shape = op_loc.aC.shape
+    w_pre = ps.halo_width((True, False) * n_pre, True)
+    w_post = ps.halo_width((False, True) * n_post, False)
+    return all(pv.available((shape[0] + 2 * w, shape[1]), op_loc.aC.dtype)
+               for w in (w_pre, w_post))
+
+
 # ------------------------------------------------------------- the solver
 
 def _pad_operator(op: StencilOp, b, x0, NX: int):
@@ -229,16 +251,31 @@ def _dist_v_cycle(levels, tail, plan: Plan, b_loc, n_pre: int, n_post: int):
             e = jnp.pad(e, ((0, b_glob.shape[0] - e.shape[0]), (0, 0)))
             return lax.dynamic_slice_in_dim(e, idx * mx, mx, axis=0)
         L = levels[lvl]
-        x = jnp.zeros_like(b_l)
-        for _ in range(n_pre):
-            x = _sweep_local(L["op"], L["red"], x, b_l)
-        r = b_l - _apply_local(L["op"], x)
+        fused = _dist_fused_ok(L["op"], n_pre, n_post)
+        if fused:
+            # one pallas_call + one halo exchange per smoothing phase
+            # instead of ~2 XLA launches + 1 exchange per color
+            from fluidsolver_tpu.parallel import pallas_shard as ps
+
+            x, r = ps.fused_smooth_local(
+                L["op"], b_l, colors=(True, False) * n_pre, residual=True)
+        else:
+            x = jnp.zeros_like(b_l)
+            for _ in range(n_pre):
+                x = _sweep_local(L["op"], L["red"], x, b_l)
+            r = b_l - _apply_local(L["op"], x)
         bc = restrict_box(L["tr_ext"], _extend_x(r, 2))[1:-1]
         ec = cycle(lvl + 1, bc)
         fine_ext = (b_l.shape[0] + 4, b_l.shape[1])
         x = x + prolong_box(L["tr_ext"], _extend_x(ec, 1), fine_ext)[2:-2]
-        for _ in range(n_post):
-            x = _sweep_local(L["op"], L["red"], x, b_l, reverse=True)
+        if fused:
+            from fluidsolver_tpu.parallel import pallas_shard as ps
+
+            x = ps.fused_smooth_local(
+                L["op"], b_l, x0_loc=x, colors=(False, True) * n_post)
+        else:
+            for _ in range(n_post):
+                x = _sweep_local(L["op"], L["red"], x, b_l, reverse=True)
         return x
 
     return cycle(0, b_loc)
@@ -250,10 +287,13 @@ def _solve_local(plan: Plan, max_iter, singular, n_pre, n_post,
     (stagnation + breakdown guards) with psum-reduced dots. ``tol`` is a
     traced scalar so callers can schedule it per subiteration
     (cfg.pressure_tol_intermediate plumbing)."""
-    op = StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
-    levels, tail = _build_dist_levels(op, plan)
-    return _pcg_local(plan, max_iter, singular, n_pre, n_post,
-                      op, levels, tail, b, x0, use_x0, tol)
+    from fluidsolver_tpu.flags import shard_local_pallas
+
+    with shard_local_pallas():
+        op = StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
+        levels, tail = _build_dist_levels(op, plan)
+        return _pcg_local(plan, max_iter, singular, n_pre, n_post,
+                          op, levels, tail, b, x0, use_x0, tol)
 
 
 def _solve_local_pre(plan: Plan, max_iter, singular, n_pre, n_post,
@@ -263,9 +303,12 @@ def _solve_local_pre(plan: Plan, max_iter, singular, n_pre, n_post,
     pressure_precond_refresh="step" builds once per step and reuses the
     hierarchy across the 5 subiteration solves instead of rebuilding it
     inside every solve (the round-4 dist path's 5x setup overhead)."""
+    from fluidsolver_tpu.flags import shard_local_pallas
+
     op = StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT)
-    return _pcg_local(plan, max_iter, singular, n_pre, n_post,
-                      op, levels, tail, b, x0, use_x0, tol)
+    with shard_local_pallas():
+        return _pcg_local(plan, max_iter, singular, n_pre, n_post,
+                          op, levels, tail, b, x0, use_x0, tol)
 
 
 def _pcg_local(plan: Plan, max_iter, singular, n_pre, n_post,
@@ -399,8 +442,11 @@ def build_hierarchy_sharded(mesh, op: StencilOp, *, axis: str = AXIS):
     op, _, _, _ = _pin_pad_operator(mesh, op, op.aC, op.aC, plan)
 
     def build(aC, aL, aR, aB, aT):
-        return _build_dist_levels(
-            StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT), plan)
+        from fluidsolver_tpu.flags import shard_local_pallas
+
+        with shard_local_pallas():
+            return _build_dist_levels(
+                StencilOp(aC=aC, aL=aL, aR=aR, aB=aB, aT=aT), plan)
 
     fn = jax.jit(_shard_map(
         build, mesh,

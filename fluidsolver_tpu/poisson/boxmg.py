@@ -505,14 +505,29 @@ def _tr_fine_wanted() -> bool:
     return _use_pallas_vc()
 
 
+def _stop_here(shape, n_levels_incl: int) -> tuple[bool, bool]:
+    """(done, direct) for a level of ``shape`` when the hierarchy holds
+    ``n_levels_incl`` levels counting this one — the SINGLE stop predicate
+    shared by the build loop and _remaining_depth (they must agree or the
+    fused tail pack's depth silently diverges from the real hierarchy).
+    ``direct``: small enough for the dense coarse inverse. ``done`` also
+    stops on the MIN dimension (collapsing below ~4 cells produces empty
+    odd-index slices / degenerate gathers) and on MAX_LEVELS."""
+    direct = (min(shape) <= DIRECT_COARSEST
+              and shape[0] * shape[1] <= DIRECT_CAP)
+    done = (n_levels_incl >= MAX_LEVELS or min(shape) <= COARSEST
+            or direct)
+    return done, direct
+
+
 def _remaining_depth(shape, built: int) -> int:
     """How many levels build_hierarchy would still produce from ``shape``
     after ``built`` existing levels (same stop logic as the build loop)."""
     n, m, d = shape[0], shape[1], 0
     while True:
-        direct = min(n, m) <= DIRECT_COARSEST and n * m <= DIRECT_CAP
         d += 1
-        if built + d >= MAX_LEVELS or min(n, m) <= COARSEST or direct:
+        done, _ = _stop_here((n, m), built + d)
+        if done:
             return d
         n, m = (n + 1) // 2, (m + 1) // 2
 
@@ -554,15 +569,7 @@ def build_hierarchy(op: StencilOp) -> list[BoxLevel]:
     cur = op
     while True:
         shape = cur.aC.shape
-        # direct-solve termination: small enough for the dense inverse
-        direct = (min(shape) <= DIRECT_COARSEST
-                  and shape[0] * shape[1] <= DIRECT_CAP)
-        # stop on the MIN dimension: collapsing below ~4 cells in either
-        # direction produces empty odd-index slices (and at 1-wide levels,
-        # degenerate gathers that crash XLA:CPU with heap corruption);
-        # anisotropic coarsest levels exceeding DIRECT_CAP keep the RB
-        # coarse sweeps + PCG
-        done = len(levels) + 1 >= MAX_LEVELS or min(shape) <= COARSEST or direct
+        done, direct = _stop_here(shape, len(levels) + 1)
         if not done and _tailsetup_on():
             # ONE-launch tail setup: stop descending at the tail start —
             # the fused kernel builds every sub-tail operator and transfer
@@ -621,6 +628,24 @@ def cast_hierarchy(levels: list[BoxLevel], dtype) -> list[BoxLevel]:
     covers it."""
     import dataclasses as dc
 
+    if (levels and levels[-1].tail is not None
+            and jnp.dtype(dtype) != jnp.float32):
+        # Tailsetup-truncated list: the fused tail pack is f32-only, so the
+        # re-attach below would fail its dtype gate and leave the coarsest
+        # at the tail-start size (65-129/side) with only RB sweeps — a
+        # large silent preconditioner loss. Rebuild the complete XLA
+        # hierarchy from the original finest f32 operator with the fused
+        # setup disabled, and cast that instead.
+        env_prev = os.environ.get("FS_PALLAS_TAILSETUP")
+        os.environ["FS_PALLAS_TAILSETUP"] = "0"
+        try:
+            levels = build_hierarchy(levels[0].op)
+        finally:
+            if env_prev is None:
+                os.environ.pop("FS_PALLAS_TAILSETUP", None)
+            else:
+                os.environ["FS_PALLAS_TAILSETUP"] = env_prev
+
     def cast_struct(s):
         if s is None:
             return None
@@ -654,8 +679,17 @@ def _attach_fused_vcycle(levels):
 
     tail_lvl = len(levels)
     if os.environ.get("FS_PALLAS_TAIL", "1") == "1":
+        # When a level already carries a tail (the fused-setup truncated
+        # build), it IS the tail start: consulting pt.available on finer
+        # levels would re-evaluate depth on the truncated list (where a
+        # finer level's remaining depth shrinks to ~2 and passes the VMEM
+        # gate it failed at full depth) and attach a spurious shallow
+        # host-built pack that shadows the fused one (v_cycle engages the
+        # first tail, silently stopping the descent at 65-129 per side).
+        has_tail = any(l.tail is not None for l in levels)
         for lvl in range(len(levels)):
-            if levels[lvl].tail is not None or pt.available(levels, lvl):
+            if (levels[lvl].tail is not None
+                    or (not has_tail and pt.available(levels, lvl))):
                 tail_lvl = lvl
                 break
         if tail_lvl == len(levels) and _tailsetup_on() and levels:

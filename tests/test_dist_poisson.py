@@ -130,3 +130,36 @@ def test_dist_pcg_f32():
     assert x.dtype == jnp.float32
     assert float(rel) <= 1e-4
     assert int(it) < 100
+
+
+def test_dist_fused_smoother_matches_sweeps(monkeypatch):
+    """VERDICT r4 #4: the fused Pallas smoother wired into
+    _dist_v_cycle (per-shard pallas_call via pallas_shard.
+    fused_smooth_local) must reproduce the _sweep_local chain — same
+    math, one launch + one halo exchange per phase. Forced on in
+    interpret mode on the CPU mesh; on TPU meshes the gate
+    (_dist_fused_ok under flags.shard_local_pallas) engages it for
+    real."""
+    import functools
+
+    from fluidsolver_tpu.parallel import pallas_shard
+
+    op, rhs = _jump_system(64, None)
+    mesh = _mesh()
+    x_b, rel_b, it_b = dist_poisson.solve_pcg_sharded(
+        mesh, op, rhs, tol=1e-8, max_iter=100, singular=True,
+        n_pre=2, n_post=2)
+
+    monkeypatch.setattr(dist_poisson, "_dist_fused_ok",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(
+        pallas_shard, "fused_smooth_local",
+        functools.partial(pallas_shard.fused_smooth_local, interpret=True))
+    x_f, rel_f, it_f = dist_poisson.solve_pcg_sharded(
+        mesh, op, rhs, tol=1e-8, max_iter=100, singular=True,
+        n_pre=2, n_post=2)
+
+    assert abs(int(it_f) - int(it_b)) <= 1, (int(it_f), int(it_b))
+    scale = float(jnp.abs(x_b).max())
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_b),
+                               atol=1e-10 * scale)

@@ -230,3 +230,38 @@ def test_full_fused_stack_pcg(monkeypatch):
     scale = float(jnp.abs(x_ref).max())
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                atol=1e-5 * scale)
+
+
+def test_tailsetup_truncated_no_shadow_tail(monkeypatch):
+    """ADVICE r4 (boxmg.py:658): when the fused-setup build stops at a
+    level COARSER than where available() first passes on the truncated
+    list (the VMEM gate failed at full depth for the finer level),
+    _attach_fused_vcycle must keep THAT tail — re-consulting
+    pt.available on finer levels of the truncated list would see a
+    shallow remaining depth, pass the gate the finer level failed at
+    full depth, and attach a spurious shallow host-built pack that
+    shadows the fused one (v_cycle engages the first tail, silently
+    stopping the descent)."""
+    op = _drop_op(128, 128)
+
+    # gate mirroring the real failure mode: 128/side fails at full depth
+    # but passes at depth <= 2 (the truncated-list re-scan); 64 passes
+    def fake_available_shape(shape, n_levels, dtype, ignore_dtype=False):
+        if n_levels < 2:
+            return False
+        return max(shape) <= 66 or (n_levels <= 2 and max(shape) <= 130)
+
+    monkeypatch.setattr(pt, "available_shape", fake_available_shape)
+    monkeypatch.setattr(
+        pt, "build_tail_pack_fused",
+        functools.partial(pt.build_tail_pack_fused, interpret=True))
+    monkeypatch.setattr(boxmg, "_tailsetup_on", lambda: True)
+    monkeypatch.setattr(boxmg, "_tr_fine_wanted", lambda: True)
+
+    levels = boxmg.build_hierarchy(op)
+    tails = [i for i, l in enumerate(levels) if l.tail is not None]
+    # truncated at the 64-ish level (the first one passing full depth):
+    # exactly ONE tail, carried by the truncation level itself
+    assert len(levels) == 2, [l.op.aC.shape for l in levels]
+    assert tails == [1], tails
+    assert max(levels[1].op.aC.shape) <= 66

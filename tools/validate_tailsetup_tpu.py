@@ -60,8 +60,21 @@ cpy = len(re.findall(r" copy\(", hlo))
 census = dict(fusions=fus, pallas_or_cc=cc - bc, sorts=srt, copies=cpy,
               executed_estimate=fus + (cc - bc) + srt + cpy)
 
-# production solve at n_solve
+# hierarchy structure at n_solve: where does the tail attach, and how
+# deep is the level list? (ADVICE r4: a truncated-list re-scan once
+# attached a spurious shallow pack at a FINER level that shadowed the
+# fused one — the tail start must match the FS_PALLAS_TAILSETUP=0 build)
 op = drop_op(n_solve)
+levels = boxmg.build_hierarchy(op)
+tail_idx = next((i for i, l in enumerate(levels) if l.tail is not None), None)
+structure = dict(
+    n_levels=len(levels), tail_idx=tail_idx,
+    tail_shape=(list(levels[tail_idx].op.aC.shape)
+                if tail_idx is not None else None),
+    n_tails=sum(1 for l in levels if l.tail is not None),
+)
+
+# production solve at n_solve
 rng = np.random.default_rng(0)
 b = jnp.asarray(rng.normal(size=op.aC.shape), jnp.float32)
 b = b - jnp.mean(b)
@@ -69,7 +82,7 @@ x, rel, it = cg.solve_pcg(op, b, tol=1e-6, max_iter=200, singular=True,
                           precond="boxmg")
 x = x - jnp.mean(x)
 print(json.dumps(dict(
-    census=census, iters=int(it), rel=float(rel),
+    census=census, structure=structure, iters=int(it), rel=float(rel),
     probe=[float(x[7, 11]), float(x[n_solve // 2, n_solve // 2])],
     xmax=float(jnp.abs(x).max()),
 )))
@@ -105,15 +118,22 @@ def main():
     # at rel 5.4e-6, fused CONVERGED in 26 — comb-probing rounding near
     # the f32 floor changes the trajectory, here for the better) — and
     # the hierarchy census actually shrank (the point of the kernel).
+    same_tail = (fused["structure"]["tail_shape"]
+                 == base["structure"]["tail_shape"]
+                 and fused["structure"]["n_tails"] <= 1)
     ok = (fused["iters"] <= base["iters"] + 2
           and fused["rel"] <= max(1e-5, 2 * base["rel"])
           and d_probe / scale < 1e-3
+          and same_tail
           and fused["census"]["executed_estimate"]
           < base["census"]["executed_estimate"])
     print(f"iters {base['iters']} vs {fused['iters']}; census "
           f"{base['census']['executed_estimate']} -> "
           f"{fused['census']['executed_estimate']}; "
-          f"probe rel diff {d_probe / scale:.1e}")
+          f"probe rel diff {d_probe / scale:.1e}; tail at "
+          f"{base['structure']['tail_shape']} vs "
+          f"{fused['structure']['tail_shape']} "
+          f"(n_tails {fused['structure']['n_tails']})")
     print("PASSED" if ok else "FAILED")
     raise SystemExit(0 if ok else 1)
 
