@@ -80,9 +80,9 @@ def run_variant(name, env_extra, n) -> dict | None:
               "FS_PALLAS_CG"):
         env[k] = "0"
     env.update(env_extra)
-    # smaller grids have smaller marginal step times; lengthen the batches
-    # so the differenced signal stays above the tunnel's drain jitter
-    env["FS_BENCH_STEPS"] = "20" if n <= 512 else "10"
+    # r5 protocol: 50-step batches put the per-step noise floor under
+    # ~1 ms (drain jitter / STEPS); smaller grids go longer still
+    env["FS_BENCH_STEPS"] = "100" if n <= 512 else "50"
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py"), "--single",

@@ -35,6 +35,7 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, "artifacts", "ab_matrix_r5.jsonl")
 
 STEPS = int(os.environ.get("FS_BENCH_STEPS", "50"))

@@ -533,14 +533,18 @@ def _remaining_depth(shape, built: int) -> int:
 
 
 def _tailsetup_on() -> bool:
-    """FS_PALLAS_TAILSETUP=1 (opt-in until the TPU A/B quantifies it):
+    """FS_PALLAS_TAILSETUP (default ON since round 5; =0 disables):
     stop the hierarchy build at the tail start and construct the whole
     TailPack with the ONE-launch setup kernel (pallas_tail.
     build_tail_pack_fused) instead of per-level XLA chains. Requires the
     tail itself (FS_PALLAS_VCYCLE + FS_PALLAS_TAIL) to be in play."""
     from fluidsolver_tpu.flags import pallas_platform_ok
 
-    if os.environ.get("FS_PALLAS_TAILSETUP", "0") != "1":
+    # default ON since r5: TPU-validated 2026-08-21 (tools/
+    # validate_tailsetup_tpu.py, artifacts/validate_tailsetup_r5.log):
+    # hierarchy census 225 -> 101 real kernels, same tail start [65,65],
+    # exactly one tail, iters 33 vs 34, probe rel diff 2.7e-7 — PASSED.
+    if os.environ.get("FS_PALLAS_TAILSETUP", "1") != "1":
         return False
     if os.environ.get("FS_PALLAS_TAIL", "1") != "1":
         return False

@@ -19,17 +19,28 @@ from fluidsolver_tpu.cases import dfg
 
 
 @pytest.mark.slow
-def test_dfg1_diffuse_ib_coefficients():
-    """Diffuse (volume-penalty) IB pinned to the ±10% literature band at
-    its largest ROBUST resolution (VERDICT r2 #6, r3 #5), using the full
-    surface-stress evaluators, at the reference's STEADY end time
-    (T_END = 8, examples/DFGBenchmarkSetup.hpp:38).
+@pytest.mark.parametrize("ny,cd_pin,dp_pin", [(48, 7.916, 0.1530),
+                                              (64, 5.815, 0.1133)])
+def test_dfg1_diffuse_ib_coefficients(ny, cd_pin, dp_pin):
+    """Diffuse (volume-penalty) IB pinned at two resolutions as a
+    two-point METHOD SIGNATURE with ±5% bands (VERDICT r4 #7 — the former
+    single ny=64 ±20% literature band could not catch a 15% forcing
+    regression), using the full surface-stress evaluators at the
+    reference's steady end time (T_END = 8,
+    examples/DFGBenchmarkSetup.hpp:38) under the fixed 4-cut protocol.
 
-    Steady-state study (tools/dfg_diffuse_study.py, t=8; r2's t=1.5 cut
-    was still inside the impulsive-start transient, which produced the
-    non-monotone values this test used to document):
-        ny= 48: C_D(surf)=6.334  dp=0.1188   (steady by t=4)
-        ny= 64: C_D(surf)=5.815  dp=0.1133   (steady by t=4)  <- this test
+    The pins are PROTOCOL-LOCKED, not literature values: under the 4-cut
+    t_end=8 schedule below, both resolutions reach a steady state that is
+    exactly reproducible (two environments, f32-pure and x64-promoted,
+    agree to 4 decimals — r5 record), but the ny=48 STATE ITSELF is
+    schedule-selected: a 4-cut t_end=4 schedule lands the same physics at
+    6.21/0.1161 instead of 7.916/0.1530 (the r3 study's "6.334 steady"
+    was such an alternate-schedule attractor). The coarse penalty scheme
+    is bistable at ny=48 exactly as at ny>=96; what this test pins is
+    that the FORCING is unchanged — any diffuse-IB code change moves
+    these values, which is the regression signal wanted here.
+        ny= 48: C_D(surf)=7.916  dp=0.1530   (steady by t=4)  <- pinned
+        ny= 64: C_D(surf)=5.815  dp=0.1133   (steady by t=4)  <- pinned
         ny= 96: BISTABLE — 5.69/0.1129 (in band) or 9.05/0.1953
         ny=128: drifts 5.54 (t=4) -> 6.52 (t=8), same pathology
     At ny >= 96 the penalty scheme admits a SPURIOUS steady state: a
@@ -41,15 +52,14 @@ def test_dfg1_diffuse_ib_coefficients():
     scheme is the reference's own (examples/DiffuseIB.cpp:296-315 forcing
     -> projection, unmasked velocity correction), so this is a method
     limitation, not a port defect; the sharp/Luchini IBs are the
-    convergent evaluators (5.596/5.640 vs lit 5.57-5.59). ny=64 is
-    asserted with a ±20% band: the spurious pressure component is
-    dt-PATH dependent even here — integrating in four t_end cuts (the
-    study protocol, reproduced below) reaches 5.815, while one single
-    t_end=8.0 cut reaches 6.436 (+15%). A first-order one-cell-smeared
-    boundary cannot honestly claim the sharp methods' ±10%."""
+    convergent evaluators (5.596/5.640 vs lit 5.57-5.59). The pins are
+    the study values under the SAME 4-cut dt path the test runs (the
+    spurious pressure component is dt-PATH dependent: one single
+    t_end=8.0 cut reaches 6.436 at ny=64 — protocol changes move the
+    value, so the protocol is part of the pin)."""
     import jax.numpy as jnp
 
-    case = get_case("diffuse_ib_dfg", ny=64, benchmark=1)
+    case = get_case("diffuse_ib_dfg", ny=ny, benchmark=1)
     g = case.grid
     state = case.make_state(dtype=jnp.float32)
     step = case.make_step()
@@ -66,9 +76,11 @@ def test_dfg1_diffuse_ib_coefficients():
     cl = float(dfg.calc_c_l_surface(state.p, state.U, state.V, g, um))
     dp = float(dfg.calc_p_diff(state.p, g))
 
-    assert 5.58 * 0.8 < cd < 5.58 * 1.2, f"C_D = {cd:.4f} (lit. 5.57-5.59)"
+    assert cd_pin * 0.95 < cd < cd_pin * 1.05, \
+        f"C_D = {cd:.4f} (pin {cd_pin}; lit. 5.57-5.59)"
     assert abs(cl) < 0.08, f"C_L = {cl:.5f} (lit. 0.0104-0.0110)"
-    assert 0.1175 * 0.8 < dp < 0.1175 * 1.2, f"dp = {dp:.5f} (lit. 0.1175)"
+    assert dp_pin * 0.95 < dp < dp_pin * 1.05, \
+        f"dp = {dp:.5f} (pin {dp_pin}; lit. 0.1175)"
 
 
 def test_dfg_evaluators_run():
