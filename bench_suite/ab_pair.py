@@ -51,7 +51,7 @@ def _stamp(msg):
     sys.stderr.flush()
 
 
-def _make_cfg(n, refresh="step"):
+def _make_cfg(n, refresh="step", precond_dtype=None):
     from fluidsolver_tpu.core import bc
     from fluidsolver_tpu.solvers.config import SolverConfig
 
@@ -67,6 +67,7 @@ def _make_cfg(n, refresh="step"):
         outflow_correction=True,
         pressure_tol_intermediate=1e-4,
         pressure_precond_refresh=refresh,
+        pressure_precond_dtype=precond_dtype,
     )
 
 
@@ -155,6 +156,7 @@ def run_pair(name, env_a, env_b, n, rounds, cfg_a=None, cfg_b=None):
     mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
     sd = lambda xs: (sum((x - mean(xs)) ** 2 for x in xs)  # noqa: E731
                      / max(1, len(xs) - 1)) ** 0.5
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     piter_a = int(run_a(s0, 1e9).flow.p_iter)
     piter_b = int(run_b(s0, 1e9).flow.p_iter)
     row = {
@@ -163,6 +165,9 @@ def run_pair(name, env_a, env_b, n, rounds, cfg_a=None, cfg_b=None):
         "a_ms": round(mean(a_ms), 3), "a_sigma": round(sd(a_ms), 3),
         "b_ms": round(mean(b_ms), 3), "b_sigma": round(sd(b_ms), 3),
         "delta_ms": round(mean(deltas), 3),
+        # drain-jitter outliers (rare wildly-negative samples) poison the
+        # mean; the median paired delta is the robust headline statistic
+        "delta_median_ms": round(med(deltas), 3),
         "delta_sem": round(sd(deltas) / max(1, len(deltas)) ** 0.5, 3),
         "a_p_iter": piter_a, "b_p_iter": piter_b,
         "a_samples": [round(x, 3) for x in a_ms],
@@ -197,6 +202,19 @@ def main():
         cfg_a, cfg_b = _make_cfg(n, "step"), _make_cfg(n, "solve")
         row = run_pair("refresh step-vs-solve", {}, {}, n, rounds,
                        cfg_a=cfg_a, cfg_b=cfg_b)
+    elif which == "nopallas":
+        # the whole fused stack on vs off — the launch-model acid test
+        row = run_pair("all-pallas vs none", {},
+                       {k: "0" for k in PALLAS_FLAGS}, n, rounds)
+    elif which == "bf16":
+        # half-traffic V-cycle vs f32 — decisive iff the step is
+        # bandwidth-bound (p_iter penalty shows in the a/b_p_iter fields)
+        row = run_pair("bf16-precond vs f32", {}, {}, n, rounds,
+                       cfg_a=_make_cfg(n, precond_dtype="bfloat16"),
+                       cfg_b=_make_cfg(n))
+    elif which == "steps":
+        # protocol self-test: identical variants, pure noise measurement
+        row = run_pair("self A==B", {}, {}, n, rounds)
     else:
         assert which in PALLAS_FLAGS, which
         row = run_pair(f"{which} on-vs-off", {which: "1"}, {which: "0"},

@@ -28,6 +28,16 @@ _PALLAS_FLAGS = (
     "FS_PALLAS_VOF",
 )
 
+# Per-flag default when the env var is unset and the platform supports
+# Pallas at all. FS_PALLAS_CG demoted to OFF in round 5: the paired
+# same-window A/B (artifacts/ab_matrix_r5.jsonl, 2026-08-21) measured the
+# fused-CG step at +3.07 +- 0.02 ms vs the XLA recurrence at matched
+# p_iter=16 (79.6 vs 76.5 ms at 1024²) — the padded band layout moves
+# ~14% more bytes per vector op and the step is HBM-bound, not
+# launch-bound, in every window observed. The kernel remains correct and
+# available for explicit FS_PALLAS_CG=1.
+_PALLAS_DEFAULT_OFF = frozenset({"FS_PALLAS_CG"})
+
 
 _SHARD_CTX = threading.local()
 
@@ -74,6 +84,8 @@ def pallas_requested(name: str) -> bool:
     v = os.environ.get(name)
     if v is not None:
         return v == "1"
+    if name in _PALLAS_DEFAULT_OFF:
+        return False
     return pallas_platform_ok()
 
 
