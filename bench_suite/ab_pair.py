@@ -51,7 +51,7 @@ def _stamp(msg):
     sys.stderr.flush()
 
 
-def _make_cfg(n, refresh="step", precond_dtype=None):
+def _make_cfg(n, refresh="step", precond_dtype=None, mg=2):
     from fluidsolver_tpu.core import bc
     from fluidsolver_tpu.solvers.config import SolverConfig
 
@@ -68,6 +68,7 @@ def _make_cfg(n, refresh="step", precond_dtype=None):
         pressure_tol_intermediate=1e-4,
         pressure_precond_refresh=refresh,
         pressure_precond_dtype=precond_dtype,
+        mg_pre=mg, mg_post=mg,
     )
 
 
@@ -212,6 +213,13 @@ def main():
         row = run_pair("bf16-precond vs f32", {}, {}, n, rounds,
                        cfg_a=_make_cfg(n, precond_dtype="bfloat16"),
                        cfg_b=_make_cfg(n))
+    elif which.startswith("mg"):
+        # V(k,k) vs V(2,2): under the bandwidth model extra colors in the
+        # fused smoother are ~free (temporal blocking) — if p_iter drops,
+        # the stronger cycle wins outright
+        k = int(which[2])
+        row = run_pair(f"V({k},{k}) vs V(2,2)", {}, {}, n, rounds,
+                       cfg_a=_make_cfg(n, mg=k), cfg_b=_make_cfg(n))
     elif which == "steps":
         # protocol self-test: identical variants, pure noise measurement
         row = run_pair("self A==B", {}, {}, n, rounds)
