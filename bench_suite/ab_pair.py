@@ -51,7 +51,7 @@ def _stamp(msg):
     sys.stderr.flush()
 
 
-def _make_cfg(n, refresh="step", precond_dtype=None, mg=2):
+def _make_cfg(n, refresh="step", precond_dtype=None, mg=2, tol_inter=1e-4):
     from fluidsolver_tpu.core import bc
     from fluidsolver_tpu.solvers.config import SolverConfig
 
@@ -65,7 +65,7 @@ def _make_cfg(n, refresh="step", precond_dtype=None, mg=2):
             bc.Dirichlet(u=0.0, v=0.0), bc.Dirichlet(u=0.0, v=0.0),
         ),
         outflow_correction=True,
-        pressure_tol_intermediate=1e-4,
+        pressure_tol_intermediate=tol_inter,
         pressure_precond_refresh=refresh,
         pressure_precond_dtype=precond_dtype,
         mg_pre=mg, mg_post=mg,
@@ -220,6 +220,13 @@ def main():
         k = int(which[2])
         row = run_pair(f"V({k},{k}) vs V(2,2)", {}, {}, n, rounds,
                        cfg_a=_make_cfg(n, mg=k), cfg_b=_make_cfg(n))
+    elif which == "tolinter3":
+        # intermediate-subiteration tol 1e-3 vs the production 1e-4 —
+        # perf headroom only; a default change needs the golden-physics
+        # check that validated 1e-4 (PERF.md r2)
+        row = run_pair("tol_inter 1e-3 vs 1e-4", {}, {}, n, rounds,
+                       cfg_a=_make_cfg(n, tol_inter=1e-3),
+                       cfg_b=_make_cfg(n))
     elif which == "steps":
         # protocol self-test: identical variants, pure noise measurement
         row = run_pair("self A==B", {}, {}, n, rounds)
