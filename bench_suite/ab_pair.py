@@ -220,6 +220,12 @@ def main():
         k = int(which[2])
         row = run_pair(f"V({k},{k}) vs V(2,2)", {}, {}, n, rounds,
                        cfg_a=_make_cfg(n, mg=k), cfg_b=_make_cfg(n))
+    elif which == "tolinter34":
+        # 3e-4 passes the reference-equal gate (test_two_phase) where
+        # 1e-3 fails it by a hair — the loosest physics-clean setting
+        row = run_pair("tol_inter 3e-4 vs 1e-4", {}, {}, n, rounds,
+                       cfg_a=_make_cfg(n, tol_inter=3e-4),
+                       cfg_b=_make_cfg(n))
     elif which == "tolinter3":
         # intermediate-subiteration tol 1e-3 vs the production 1e-4 —
         # perf headroom only; a default change needs the golden-physics

@@ -91,16 +91,22 @@ def test_two_phase_smoke():
     assert float(jnp.max(state.vf)) < 1.0 + 1e-8
 
 
-def test_intermediate_tol_matches_reference_behavior():
+@pytest.mark.parametrize("tol_inter", [1e-4, 3e-4])
+def test_intermediate_tol_matches_reference_behavior(tol_inter):
     """cfg.pressure_tol_intermediate (loose intermediate subiteration
     solves, tight final) must leave the end-of-step state at the
     reference-behavior solution to ~rounding and still meet pressure_tol
-    on the final solve (measured study: config.py / PERF.md)."""
+    on the final solve (measured study: config.py / PERF.md). Round-5
+    gate runs: the paired TPU A/B measured 1e-3 at -7.6 ms/step vs 1e-4
+    at 1024² (artifacts/ab_matrix_r5.jsonl) but 1e-3 FAILS this gate by
+    a hair (max|dU| 1.007e-7 vs the 1e-7 reference-equal standard) —
+    the headroom stays unclaimed rather than weakening the standard;
+    3e-4 is the loosest level that passes."""
     import dataclasses
 
     g, cfg, state0 = _drop_setup(n=32)
     base = twophase.run(state0, 0.12, g, cfg)
-    cfg_l = dataclasses.replace(cfg, pressure_tol_intermediate=1e-4)
+    cfg_l = dataclasses.replace(cfg, pressure_tol_intermediate=tol_inter)
     loose = twophase.run(state0, 0.12, g, cfg_l)
 
     assert float(loose.flow.p_res) <= cfg.pressure_tol
