@@ -70,9 +70,12 @@ def _run(warmup: int, n: int):
             bc.Dirichlet(u=0.0, v=0.0), bc.Dirichlet(u=0.0, v=0.0),
         ),
         outflow_correction=True,
-        # loose intermediate subiteration solves (22-23% fewer PCG iters,
-        # end state equal to rounding — config.py / PERF.md)
-        pressure_tol_intermediate=float(os.environ.get("FS_TOL_INTER", "1e-4")) or None,
+        # loose intermediate subiteration solves (fewer PCG iters, end
+        # state equal to rounding — config.py / PERF.md). 3e-4 is the
+        # loosest level that passes the reference-equal gate
+        # (tests/test_two_phase.py, r5; 1e-3 fails it by a hair) and is
+        # worth -1.0 ms/step paired (artifacts/ab_matrix_r5.jsonl)
+        pressure_tol_intermediate=float(os.environ.get("FS_TOL_INTER", "3e-4")) or None,
         # A/B knobs (bench_suite/ab_matrix.py)
         pressure_precond_dtype=os.environ.get("FS_PRECOND_DTYPE") or None,
         pressure_precond_refresh=os.environ.get("FS_PRECOND_REFRESH", "step"),

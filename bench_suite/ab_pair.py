@@ -51,7 +51,9 @@ def _stamp(msg):
     sys.stderr.flush()
 
 
-def _make_cfg(n, refresh="step", precond_dtype=None, mg=2, tol_inter=1e-4):
+def _make_cfg(n, refresh="step", precond_dtype=None, mg=2, tol_inter=3e-4):
+    # baseline tol_inter moved 1e-4 -> 3e-4 on 2026-08-21 (gated + paired;
+    # rows recorded before then used a 1e-4 baseline)
     from fluidsolver_tpu.core import bc
     from fluidsolver_tpu.solvers.config import SolverConfig
 
@@ -225,14 +227,14 @@ def main():
         # 1e-3 fails it by a hair — the loosest physics-clean setting
         row = run_pair("tol_inter 3e-4 vs 1e-4", {}, {}, n, rounds,
                        cfg_a=_make_cfg(n, tol_inter=3e-4),
-                       cfg_b=_make_cfg(n))
+                       cfg_b=_make_cfg(n, tol_inter=1e-4))
     elif which == "tolinter3":
         # intermediate-subiteration tol 1e-3 vs the production 1e-4 —
         # perf headroom only; a default change needs the golden-physics
         # check that validated 1e-4 (PERF.md r2)
         row = run_pair("tol_inter 1e-3 vs 1e-4", {}, {}, n, rounds,
                        cfg_a=_make_cfg(n, tol_inter=1e-3),
-                       cfg_b=_make_cfg(n))
+                       cfg_b=_make_cfg(n, tol_inter=1e-4))
     elif which == "steps":
         # protocol self-test: identical variants, pure noise measurement
         row = run_pair("self A==B", {}, {}, n, rounds)
