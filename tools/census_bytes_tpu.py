@@ -66,6 +66,7 @@ def census(hlo: str):
     (the outer op itself is skipped to avoid double counting)."""
     stage_bytes = collections.Counter()
     stage_count = collections.Counter()
+    unmatched = collections.Counter()
     for line in hlo.splitlines():
         line = line.strip()
         m = re.match(r"(?:ROOT )?[%\w.\-]+ = (.+?) (\w[\w\-]*)\(", line)
@@ -89,7 +90,9 @@ def census(hlo: str):
         stage = classify(name, opcode)
         stage_bytes[stage] += nbytes
         stage_count[stage] += 1
-    return stage_bytes, stage_count
+        if stage == "other":
+            unmatched[name[:120]] += nbytes
+    return stage_bytes, stage_count, unmatched
 
 
 def classify(op_name: str, opcode: str) -> str:
@@ -135,7 +138,7 @@ def main():
           file=sys.stderr, flush=True)
     hlo = jax.jit(runner).lower(state, 1e9).compile().as_text()
 
-    stage_bytes, stage_count = census(hlo)
+    stage_bytes, stage_count, unmatched = census(hlo)
     total = sum(stage_bytes.values())
     print(f"# static traffic census, n={n}, {inner} step(s)/dispatch")
     print(f"{'stage':18s} {'GB':>8s} {'instr':>6s}")
@@ -149,6 +152,10 @@ def main():
     for bw in (819, 400, 100, 63):
         print(f"implied ms/step at {bw:4d} GB/s (static bytes only): "
               f"{total/1e9/bw*1e3/inner:8.2f}")
+    if "--unmatched" in sys.argv:
+        print("\n# top 'other' op_names by bytes")
+        for name, b in unmatched.most_common(25):
+            print(f"{b/1e6:9.1f} MB  {name}")
 
 
 if __name__ == "__main__":
