@@ -29,14 +29,17 @@ _PALLAS_FLAGS = (
 )
 
 # Per-flag default when the env var is unset and the platform supports
-# Pallas at all. FS_PALLAS_CG demoted to OFF in round 5: the paired
-# same-window A/B (artifacts/ab_matrix_r5.jsonl, 2026-08-21) measured the
-# fused-CG step at +3.07 +- 0.02 ms vs the XLA recurrence at matched
-# p_iter=16 (79.6 vs 76.5 ms at 1024²) — the padded band layout moves
-# ~14% more bytes per vector op and the step is HBM-bound, not
-# launch-bound, in every window observed. The kernel remains correct and
-# available for explicit FS_PALLAS_CG=1.
-_PALLAS_DEFAULT_OFF = frozenset({"FS_PALLAS_CG"})
+# Pallas at all. Round-5 demotions, both measured by the paired
+# same-window protocol (artifacts/ab_matrix_r5.jsonl, 2026-08-21, matched
+# p_iter=16 at 1024²):
+#   FS_PALLAS_CG:       +3.07 +- 0.02 ms vs the XLA recurrence — the
+#     padded band layout moves ~14% more bytes per loop-carried vector.
+#   FS_PALLAS_MOMENTUM: +0.110 +- 0.031 ms — XLA's own fusion of the
+#     momentum stage is already optimal; the banded kernel only re-pays
+#     padding. (The big fused wins are real and stay on: whole stack
+#     -63 ms, VOF advect kernel alone -3.25 ms.)
+# Both kernels remain correct, interpret-tested, and available via =1.
+_PALLAS_DEFAULT_OFF = frozenset({"FS_PALLAS_CG", "FS_PALLAS_MOMENTUM"})
 
 
 _SHARD_CTX = threading.local()
