@@ -480,3 +480,85 @@ def probe_unfused_transfers():
 
 if "unfused" in sys.argv and __name__ == "__main__":
     probe_unfused_transfers()
+
+
+def probe_consumer_shape():
+    """N5/N6: is N4's 806 µs the PALLAS call or its SHAPE-CHANGING XLA
+    consumer? Same production pre-call; bc consumed via
+      N5: x.at[:nc,:mc].add(bc)   (dynamic-update-slice, fine-shaped)
+      N6: jnp.pad(bc) to fine     (the N4/K pattern)
+    If N5 collapses to ~N3's 85 µs the kernel is innocent and the fix is
+    to emit bc pre-padded. Run: ... consumer"""
+    import numpy as np
+
+    from fluidsolver_tpu.core.grid import make_grid
+    from fluidsolver_tpu.poisson import boxmg, linsys
+    from fluidsolver_tpu.poisson import pallas_vcycle as pv
+
+    n = 1024
+    g = make_grid(0.0, 1.0, n, 0.0, 1.0, n)
+
+    def rho(shape):
+        X, Y = np.meshgrid(np.linspace(0, 1, shape[0]),
+                           np.linspace(0, 1, shape[1]), indexing="ij")
+        return jnp.asarray(
+            np.where((X - 0.5) ** 2 + (Y - 0.45) ** 2 < 0.07, 1000.0, 1.0),
+            jnp.float32)
+
+    op = linsys.assemble_pressure_operator(
+        rho(g.shape_u), rho(g.shape_v), g.dx, g.dy, None)
+    levels = boxmg.build_hierarchy(op)
+    L0 = levels[0]
+    w = jnp.zeros(op.aC.shape, jnp.float32).at[13, 17].set(1.0)
+    S3 = 256
+    cols = (True, False) * 2
+
+    def run_scan(body, label):
+        f = jax.jit(lambda c: lax.scan(body, c, None, length=S3)[0])
+        drain(f(w))
+        t0 = time.perf_counter()
+        z = w
+        for _ in range(5):
+            z = f(z)
+        drain(z)
+        t5 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        drain(f(w))
+        t1 = time.perf_counter() - t0
+        per = max(t5 - t1, 1e-9) / (4 * S3)
+        print(f"{label:28s} {per*1e6:9.2f} us/iter", flush=True)
+
+    def body_n5(z, _):
+        x, bc = pv.fused_smooth(L0.op, z, colors=cols,
+                                tr_planes=L0.tr_fine, restrict=True,
+                                banded=L0.banded)
+        return x.at[:bc.shape[0], :bc.shape[1]].add(bc), None
+
+    run_scan(body_n5, "N5 restrict, DUS consumer")
+
+    def body_n6(z, _):
+        x, bc = pv.fused_smooth(L0.op, z, colors=cols,
+                                tr_planes=L0.tr_fine, restrict=True,
+                                banded=L0.banded)
+        return x + jnp.pad(bc, ((0, z.shape[0] - bc.shape[0]),
+                                (0, z.shape[1] - bc.shape[1]))), None
+
+    run_scan(body_n6, "N6 restrict, pad consumer")
+
+    def body_n7(z, _):
+        x, bc = pv.fused_smooth(L0.op, z, colors=cols,
+                                tr_planes=L0.tr_fine, restrict=True,
+                                banded=L0.banded)
+        # consume bc through ANOTHER pallas call (the real cycle pattern:
+        # bc feeds the next level's fused smoother)
+        L1 = levels[1]
+        bc2 = jnp.pad(bc, ((0, L1.op.aC.shape[0] - bc.shape[0]),
+                           (0, L1.op.aC.shape[1] - bc.shape[1])))
+        xc = pv.fused_smooth(L1.op, bc2, colors=cols, banded=L1.banded)
+        return x.at[:xc.shape[0], :xc.shape[1]].add(xc), None
+
+    run_scan(body_n7, "N7 restrict -> L1 smoother")
+
+
+if "consumer" in sys.argv and __name__ == "__main__":
+    probe_consumer_shape()
