@@ -235,6 +235,14 @@ def main():
         row = run_pair("tol_inter 1e-3 vs 1e-4", {}, {}, n, rounds,
                        cfg_a=_make_cfg(n, tol_inter=1e-3),
                        cfg_b=_make_cfg(n, tol_inter=1e-4))
+    elif which == "round5":
+        # the round's net product delta in ONE paired row: r5 defaults
+        # (CG+momentum off, tol_inter 3e-4) vs the r4 default set
+        row = run_pair("r5 vs r4 defaults", {},
+                       {"FS_PALLAS_CG": "1", "FS_PALLAS_MOMENTUM": "1"},
+                       n, rounds,
+                       cfg_a=_make_cfg(n),
+                       cfg_b=_make_cfg(n, tol_inter=1e-4))
     elif which == "steps":
         # protocol self-test: identical variants, pure noise measurement
         row = run_pair("self A==B", {}, {}, n, rounds)
